@@ -1,0 +1,271 @@
+"""Caption decoders: attention-GRU (the workhorse), attention-LSTM, and the
+plain seq2seq LSTM — pure functions over weight pytrees with ``lax.scan``
+time loops.
+
+Replaces the reference's Python-level per-token loops
+(/root/reference/models/decoderlstm.py:78-119 AttentionGru.forward,
+:233-254 AttentionLstm.forward, :334-357 DecoderLstm.forward) with
+fixed-shape scans that XLA compiles into a single TPU program.  Weight
+layout matches torch so checkpoints import 1:1, and the GRU cell pytree is
+exactly the tensor set the hypernetwork generates.
+
+Reference quirks preserved for token-level parity (SURVEY.md §7.3):
+- teacher-forced step t=0 consumes a **zeroed** embedding
+  (decoderlstm.py:83-84) and step t>0 consumes embed(captions[:, t-1]);
+- ``sample_prob`` is the probability of *sampling* (feeding back the
+  argmax of the previous logits scaled by ``sample_temp=0.5``), drawn once
+  per step for the whole batch (np.random.random() in the reference);
+- extra GRU layers (num_layers>1) are applied as h = cell(h, h), including
+  once on the initial hidden state (decoderlstm.py:63-66, 101-103).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from captionax.models.attention import bahdanau_attention, bahdanau_init
+from captionax.models.layers import (
+    embedding,
+    embedding_init,
+    linear,
+    linear_init,
+    mlp_init,
+)
+from captionax.models.rnn import (
+    gru_cell,
+    gru_cell_init,
+    lstm_cell,
+    lstm_cell_init,
+)
+
+Params = Dict[str, object]
+
+
+# ====================================================== attention-GRU ====
+def attention_gru_init(
+    key,
+    num_features: int,
+    feature_out: int,
+    embed_dim: int,
+    hidden_dim: int,
+    vocab_size: int,
+    num_layers: int = 1,
+    dtype=jnp.float32,
+) -> Params:
+    """Parameter pytree of the AttentionGru decoder
+    (/root/reference/models/decoderlstm.py:11-47)."""
+    keys = jax.random.split(key, 7 + max(0, num_layers - 1))
+    params: Params = {
+        "feature_fc": mlp_init(keys[0], (num_features, feature_out, feature_out), dtype),
+        "embed": embedding_init(keys[1], vocab_size, embed_dim, dtype),
+        "gru": gru_cell_init(keys[2], embed_dim + feature_out, hidden_dim, dtype),
+        "fc": linear_init(keys[3], hidden_dim, vocab_size, dtype),
+        "attention": bahdanau_init(keys[4], feature_out, hidden_dim),
+        "init_h": linear_init(keys[5], feature_out, hidden_dim, dtype),
+    }
+    if num_layers > 1:
+        params["layers"] = [
+            gru_cell_init(keys[7 + i], hidden_dim, hidden_dim, dtype)
+            for i in range(num_layers - 1)
+        ]
+    return params
+
+
+def encode_features(params: Params, raw_features: jnp.ndarray) -> jnp.ndarray:
+    """feature_fc MLP: Linear -> ReLU -> Linear (decoderlstm.py:22-26)."""
+    ff = params["feature_fc"]
+    x = jax.nn.relu(linear(ff["l0"], raw_features))
+    return linear(ff["l1"], x)
+
+
+def _extra_layers(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    for cell in params.get("layers", ()):  # type: ignore[union-attr]
+        h = gru_cell(cell, h, h)
+    return h
+
+
+def init_hidden(params: Params, features: jnp.ndarray) -> jnp.ndarray:
+    """h0 = init_h(mean over regions), then extra layers once
+    (decoderlstm.py:122-135, 63-66)."""
+    h = linear(params["init_h"], jnp.mean(features, axis=1))
+    return _extra_layers(params, h)
+
+
+def decode_step(
+    params: Params,
+    word_embed: jnp.ndarray,
+    h: jnp.ndarray,
+    features: jnp.ndarray,
+    gru_params: Optional[Dict] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step: attention -> GRU -> (extra layers) -> fc.
+
+    ``gru_params`` overrides params['gru'] — this is the hypernet hook.
+    Returns (h_next, logits [B, V], attn_weights [B, R]).
+    """
+    cell = params["gru"] if gru_params is None else gru_params
+    context, attn = bahdanau_attention(params["attention"], features, h)
+    x = jnp.concatenate([word_embed, context], axis=-1)
+    h = gru_cell(cell, x, h)
+    h = _extra_layers(params, h)
+    logits = linear(params["fc"], h)
+    return h, logits, attn
+
+
+def teacher_forced(
+    params: Params,
+    raw_features: jnp.ndarray,
+    captions: jnp.ndarray,
+    sample_prob: float = 0.0,
+    sample_temp: float = 0.5,
+    rng: Optional[jax.Array] = None,
+    gru_params: Optional[Dict] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced (optionally scheduled-sampling) scoring pass.
+
+    raw_features: [B, R, num_features]; captions: [B, T] int ids.
+    Returns (logits [B, T, V], attn [B, T, R]).
+    """
+    features = encode_features(params, raw_features)
+    h0 = init_hidden(params, features)
+    embeds = embedding(params["embed"], captions)  # [B, T, E]
+    B, T, E = embeds.shape
+
+    use_sampling = sample_prob > 0.0 and rng is not None
+    if use_sampling:
+        step_keys = jax.random.split(rng, T)
+        coins = jax.random.uniform(jax.random.fold_in(rng, T), (T,))
+    else:
+        coins = jnp.zeros((T,))
+        step_keys = jnp.zeros((T, 2), dtype=jnp.uint32)
+
+    zero_embed = jnp.zeros((B, E), embeds.dtype)
+
+    def body(carry, xs):
+        h, prev_logits = carry
+        t, coin = xs
+        tf_embed = jnp.where(t == 0, zero_embed, embeds[:, jnp.maximum(t - 1, 0)])
+        if use_sampling:
+            sampled_ids = jnp.argmax(
+                jax.nn.log_softmax(prev_logits / sample_temp, axis=-1), axis=-1
+            )
+            sampled_embed = embedding(params["embed"], sampled_ids)
+            take_sample = jnp.logical_and(coin < sample_prob, t > 0)
+            word_embed = jnp.where(take_sample, sampled_embed, tf_embed)
+        else:
+            word_embed = tf_embed
+        h, logits, attn = decode_step(params, word_embed, h, features, gru_params)
+        return (h, logits), (logits, attn)
+
+    V = params["fc"]["b"].shape[0]
+    init_logits = jnp.zeros((B, V), jnp.float32)
+    (_, _), (logits, attn) = jax.lax.scan(
+        body, (h0, init_logits), (jnp.arange(T), coins)
+    )
+    return jnp.transpose(logits, (1, 0, 2)), jnp.transpose(attn, (1, 0, 2))
+
+
+# ====================================================== attention-LSTM ===
+def attention_lstm_init(
+    key,
+    num_features: int,
+    embed_dim: int,
+    hidden_dim: int,
+    vocab_size: int,
+    dtype=jnp.float32,
+) -> Params:
+    """AttentionLstm (/root/reference/models/decoderlstm.py:188-222):
+    attends over the raw encoder features (no feature_fc)."""
+    keys = jax.random.split(key, 6)
+    return {
+        "embed": embedding_init(keys[0], vocab_size, embed_dim, dtype),
+        "lstm": lstm_cell_init(keys[1], embed_dim + num_features, hidden_dim, dtype),
+        "fc": linear_init(keys[2], hidden_dim, vocab_size, dtype),
+        "attention": bahdanau_init(keys[3], num_features, hidden_dim),
+        "init_h": linear_init(keys[4], num_features, hidden_dim, dtype),
+        "init_c": linear_init(keys[5], num_features, hidden_dim, dtype),
+    }
+
+
+def lstm_init_hidden(params: Params, features: jnp.ndarray):
+    mean = jnp.mean(features, axis=1)
+    return linear(params["init_h"], mean), linear(params["init_c"], mean)
+
+
+def lstm_decode_step(params, word_embed, hc, features):
+    context, attn = bahdanau_attention(params["attention"], features, hc[0])
+    x = jnp.concatenate([word_embed, context], axis=-1)
+    h, c = lstm_cell(params["lstm"], x, hc)
+    logits = linear(params["fc"], h)
+    return (h, c), logits, attn
+
+
+def lstm_teacher_forced(
+    params: Params,
+    features: jnp.ndarray,
+    captions: jnp.ndarray,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced AttentionLstm pass (t=0 zero-embed quirk preserved)."""
+    hc0 = lstm_init_hidden(params, features)
+    B, T = captions.shape
+    E = params["embed"].shape[1]
+    H = params["init_h"]["b"].shape[0]
+    zero_embed = jnp.zeros((B, E), jnp.float32)
+    embeds = embedding(params["embed"], captions)
+    if dropout_rate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, (T, B, H))
+        drop_scale = keep.astype(jnp.float32) / (1.0 - dropout_rate)
+    else:
+        drop_scale = jnp.ones((T, 1, 1), jnp.float32)
+
+    def body(carry, xs):
+        hc = carry
+        t, mask = xs
+        word_embed = jnp.where(t == 0, zero_embed, embeds[:, jnp.maximum(t - 1, 0)])
+        context, attn = bahdanau_attention(params["attention"], features, hc[0])
+        x = jnp.concatenate([word_embed, context], axis=-1)
+        h, c = lstm_cell(params["lstm"], x, hc)
+        logits = linear(params["fc"], h * mask)
+        return (h, c), (logits, attn)
+
+    _, (logits, attn) = jax.lax.scan(body, hc0, (jnp.arange(T), drop_scale))
+    return jnp.transpose(logits, (1, 0, 2)), jnp.transpose(attn, (1, 0, 2))
+
+
+# ==================================================== plain seq2seq LSTM =
+def seq_lstm_init(
+    key, embed_dim: int, hidden_dim: int, vocab_size: int, dtype=jnp.float32
+) -> Params:
+    """DecoderLstm (/root/reference/models/decoderlstm.py:296-320): global
+    image feature as the first input token of an nn.LSTM."""
+    keys = jax.random.split(key, 3)
+    return {
+        "embed": embedding_init(keys[0], vocab_size, embed_dim, dtype),
+        "lstm": lstm_cell_init(keys[1], embed_dim, hidden_dim, dtype),
+        "fc": linear_init(keys[2], hidden_dim, vocab_size, dtype),
+    }
+
+
+def seq_lstm_forward(
+    params: Params, feature: jnp.ndarray, captions: jnp.ndarray
+) -> jnp.ndarray:
+    """feature: [B, E] global feature; captions: [B, T].
+    Inputs are [feature, embed(cap[0]), ..., embed(cap[T-2])] — the
+    reference drops the last caption token (decoderlstm.py:334-357)."""
+    embeds = embedding(params["embed"], captions[:, :-1])
+    inputs = jnp.concatenate([feature[:, None, :], embeds], axis=1)  # [B, T, E]
+    B, T, _ = inputs.shape
+    H = params["fc"]["w"].shape[0]
+    h0 = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+
+    def body(hc, x):
+        hc = lstm_cell(params["lstm"], x, hc)
+        return hc, hc[0]
+
+    _, hs = jax.lax.scan(body, h0, jnp.transpose(inputs, (1, 0, 2)))
+    return linear(params["fc"], jnp.transpose(hs, (1, 0, 2)))

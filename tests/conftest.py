@@ -3,12 +3,19 @@ multi-device sharding tests run anywhere (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the image's sitecustomize registers the axon TPU plugin and prepends
+# "axon" to jax_platforms, overriding JAX_PLATFORMS=cpu from the
+# environment — pin the config directly before any backend initializes
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
