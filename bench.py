@@ -1,0 +1,85 @@
+"""Benchmark: end-to-end styled-caption decode throughput on one TPU chip.
+
+Flagship path = the reference's latency-critical test_step
+(/root/reference/hypernet_attention.py:242-313): style -> hypernet ->
+GRU weights -> k=3 beam search over 49-region attention, 50-step horizon,
+V=9684, feature/embed/hidden=200 — run here as one fixed-shape XLA program
+batched over images.
+
+Baseline: the same computation rebuilt in PyTorch on this host's CPU
+(benchmarks/torch_cpu_baseline.py; measured 13.14 captions/s, p50 74 ms,
+single core).  ``vs_baseline`` is the throughput ratio.
+
+Prints ONE JSON line:
+  {"metric": "beam_captions_per_sec_per_chip", "value": N,
+   "unit": "captions/s", "vs_baseline": N, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+TORCH_CPU_BASELINE_CAPS_PER_SEC = 13.14  # benchmarks/torch_cpu_baseline.py
+NF, FO, E, H, V, K, MAX_STEPS, R = 2048, 200, 200, 200, 9684, 3, 50, 49
+
+
+def main(batch: int = 256, iters: int = 20):
+    from captionax.decode import beam_search
+    from captionax.models import decoder as dec
+    from captionax.models.hypernet import hypernet_init
+    from captionax.train.steps import synthesize_theta
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "decoder": dec.attention_gru_init(k1, NF, FO, E, H, V),
+        "hn": hypernet_init(k2, hyper_emb=E, input_dim=E + FO, hidden_dim=H),
+    }
+    features = jax.random.normal(k3, (batch, R, NF))
+    style_id = jnp.asarray(4, jnp.int32)
+
+    @jax.jit
+    def styled_beam(params, features, style_id):
+        theta = synthesize_theta(params, style_id)
+        return beam_search(
+            params["decoder"], features, k=K, max_steps=MAX_STEPS,
+            gru_params=theta,
+        )
+
+    import numpy as np
+
+    res = styled_beam(params, features, style_id)
+    np.asarray(res.tokens)  # compile + warmup
+
+    # NOTE: under the axon TPU relay block_until_ready() returns before the
+    # device finishes; a small device->host transfer is the only reliable
+    # completion barrier, so fetch res.scores ([B] floats) every iteration.
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        res = styled_beam(params, features, style_id)
+        np.asarray(res.scores)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+
+    caps_per_sec = batch / dt
+    p50_ms = dt / batch * 1e3  # per-caption cost at this batch size
+    print(json.dumps({
+        "metric": "beam_captions_per_sec_per_chip",
+        "value": round(caps_per_sec, 1),
+        "unit": "captions/s",
+        "vs_baseline": round(caps_per_sec / TORCH_CPU_BASELINE_CAPS_PER_SEC, 1),
+        "p50_per_caption_ms": round(p50_ms, 4),
+        "batch": batch,
+        "beam_k": K,
+        "max_steps": MAX_STEPS,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

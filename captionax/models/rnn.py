@@ -44,10 +44,18 @@ def gru_cell(params: CellParams, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         z = sigmoid(W_iz x + b_iz + W_hz h + b_hz)
         n = tanh(W_in x + b_in + r * (W_hn h + b_hn))
         h' = (1 - z) * n + z * h
+
+    Weights may carry a leading batch axis (w_ih [B, 3H, In], ...) for
+    per-row hypernet-synthesized cells — mixed-style batches decode in one
+    program (batched matmuls hit the MXU as grouped GEMMs).
     """
     hd = h.shape[-1]
-    gi = jnp.dot(x, params["w_ih"].T, preferred_element_type=jnp.float32) + params["b_ih"]
-    gh = jnp.dot(h, params["w_hh"].T, preferred_element_type=jnp.float32) + params["b_hh"]
+    if params["w_ih"].ndim == 3:
+        gi = jnp.einsum("bgi,bi->bg", params["w_ih"], x) + params["b_ih"]
+        gh = jnp.einsum("bgh,bh->bg", params["w_hh"], h) + params["b_hh"]
+    else:
+        gi = jnp.dot(x, params["w_ih"].T, preferred_element_type=jnp.float32) + params["b_ih"]
+        gh = jnp.dot(h, params["w_hh"].T, preferred_element_type=jnp.float32) + params["b_hh"]
     i_r, i_z, i_n = gi[..., :hd], gi[..., hd : 2 * hd], gi[..., 2 * hd :]
     h_r, h_z, h_n = gh[..., :hd], gh[..., hd : 2 * hd], gh[..., 2 * hd :]
     r = jax.nn.sigmoid(i_r + h_r)

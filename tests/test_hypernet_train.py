@@ -1,0 +1,180 @@
+"""Hypernet synthesis + training-step tests, incl. 8-device data parallel."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from captionax.models import decoder as dec
+from captionax.models.hypernet import (
+    hypernet_apply,
+    hypernet_init,
+    theta_param_count,
+)
+from captionax.train.state import create_train_state, get_lr, make_optimizer, set_lr
+from captionax.train.steps import (
+    jit_data_parallel,
+    make_gru_steps,
+    make_hypernet_steps,
+    synthesize_theta,
+    synthesize_theta_batched,
+)
+
+NF, F, E, H, V = 32, 16, 16, 16, 29
+B, R, T = 8, 9, 6
+
+
+def make_batch(key, with_style=True):
+    k1, k2 = jax.random.split(key)
+    batch = {
+        "features": jax.random.normal(k1, (B, R, NF)),
+        "captions": jax.random.randint(k2, (B, T), 1, V),
+    }
+    if with_style:
+        batch["style_id"] = jnp.asarray(4, jnp.int32)  # 'factual'
+    return batch
+
+
+@pytest.fixture(scope="module")
+def model():
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    decoder = dec.attention_gru_init(k1, NF, F, E, H, V)
+    hn = hypernet_init(k2, hyper_emb=E, input_dim=E + F, hidden_dim=H)
+    return {"decoder": decoder, "hn": hn}
+
+
+class TestSynthesis:
+    def test_reference_theta_count(self):
+        # 200/200/200 config generates 361,200 weights (SURVEY.md §2.4)
+        assert theta_param_count(400, 200) == 361200
+
+    def test_theta_shapes_match_cell(self, model):
+        theta = hypernet_apply(model["hn"], jnp.ones((E,)))
+        assert theta["w_ih"].shape == (3 * H, E + F)
+        assert theta["w_hh"].shape == (3 * H, H)
+        assert theta["b_ih"].shape == theta["b_hh"].shape == (3 * H,)
+
+    def test_styles_give_different_weights(self, model):
+        e1 = jnp.zeros((E,)).at[0].set(1.0)
+        e2 = jnp.zeros((E,)).at[1].set(1.0)
+        t1 = hypernet_apply(model["hn"], e1)
+        t2 = hypernet_apply(model["hn"], e2)
+        assert not np.allclose(np.asarray(t1["w_ih"]), np.asarray(t2["w_ih"]))
+
+    def test_batched_synthesis_matches_loop(self, model):
+        embeds = jax.random.normal(jax.random.PRNGKey(1), (4, E))
+        batched = synthesize_theta_batched(model, embeds)
+        for i in range(4):
+            single = hypernet_apply(model["hn"], embeds[i])
+            for k in single:
+                np.testing.assert_allclose(
+                    np.asarray(batched[k][i]), np.asarray(single[k]), atol=1e-6
+                )
+
+    def test_mixed_style_decode_matches_per_style(self, model):
+        """Per-row theta through the decoder == running each style alone."""
+        batch = make_batch(jax.random.PRNGKey(2), with_style=False)
+        embeds = jax.random.normal(jax.random.PRNGKey(3), (B, E))
+        theta_b = synthesize_theta_batched(model, embeds)
+        logits_b, _ = dec.teacher_forced(
+            model["decoder"], batch["features"], batch["captions"], gru_params=theta_b
+        )
+        for i in [0, B - 1]:
+            theta_i = hypernet_apply(model["hn"], embeds[i])
+            logits_i, _ = dec.teacher_forced(
+                model["decoder"],
+                batch["features"][i : i + 1],
+                batch["captions"][i : i + 1],
+                gru_params=theta_i,
+            )
+            np.testing.assert_allclose(
+                np.asarray(logits_b[i]), np.asarray(logits_i[0]), atol=1e-4
+            )
+
+
+class TestTrainSteps:
+    def test_gru_overfit_one_batch(self, model):
+        tx = make_optimizer(1e-2)
+        state = create_train_state(model["decoder"], tx)
+        train, _ = make_gru_steps(tx)
+        train = jax.jit(train)
+        batch = make_batch(jax.random.PRNGKey(4), with_style=False)
+        state, m0 = train(state, batch)
+        for _ in range(40):
+            state, m = train(state, batch)
+        assert float(m["train_loss"]) < float(m0["train_loss"]) * 0.5
+
+    def test_hypernet_overfit_one_batch(self, model):
+        tx = make_optimizer(1e-2)
+        state = create_train_state(model, tx)
+        train, _ = make_hypernet_steps(tx)
+        train = jax.jit(train)
+        batch = make_batch(jax.random.PRNGKey(5))
+        state, m0 = train(state, batch)
+        for _ in range(40):
+            state, m = train(state, batch)
+        assert float(m["train_loss"]) < float(m0["train_loss"]) * 0.5
+
+    def test_decoder_gru_params_frozen_in_hypernet_mode(self, model):
+        """Reference parameter split: the captioner's own GRU tensors are
+        not in the optimizer (hypernet_attention.py:123-133) — here they
+        simply receive zero gradient and never move."""
+        tx = make_optimizer(1e-2)
+        state = create_train_state(model, tx)
+        train, _ = make_hypernet_steps(tx)
+        before = jax.tree_util.tree_map(np.asarray, state.params["decoder"]["gru"])
+        state, _ = jax.jit(train)(state, make_batch(jax.random.PRNGKey(6)))
+        after = state.params["decoder"]["gru"]
+        for k in before:
+            np.testing.assert_array_equal(before[k], np.asarray(after[k]))
+
+    def test_eval_step_losses(self, model):
+        tx = make_optimizer(1e-2)
+        _, eval_step = make_hypernet_steps(tx)
+        out = jax.jit(eval_step)(model, make_batch(jax.random.PRNGKey(7)))
+        assert np.isfinite(float(out["val_loss_tf"]))
+        assert np.isfinite(float(out["val_loss"]))
+
+    def test_plateau_lr(self, model):
+        from captionax.train.state import PlateauScheduler
+
+        tx = make_optimizer(1e-2)
+        state = create_train_state(model, tx)
+        sched = PlateauScheduler(factor=0.5, patience=1, cooldown=2)
+        lr = get_lr(state)
+        lr = sched.step(1.0, lr)   # best
+        lr = sched.step(1.1, lr)   # bad 1
+        lr = sched.step(1.2, lr)   # bad 2 > patience -> reduce
+        assert lr == pytest.approx(5e-3)
+        state = set_lr(state, lr)
+        assert get_lr(state) == pytest.approx(5e-3)
+
+
+class TestDataParallel:
+    def test_eight_device_step_matches_single(self, model):
+        assert len(jax.devices()) == 8
+        from captionax.parallel.mesh import make_mesh, replicate_params, shard_batch
+
+        mesh = make_mesh()
+        tx = make_optimizer(1e-3)
+        train, _ = make_hypernet_steps(tx)
+        batch = make_batch(jax.random.PRNGKey(8))
+
+        state1 = create_train_state(model, tx)
+        state1, m1 = jax.jit(train, donate_argnums=())(state1, batch)
+
+        state8 = create_train_state(replicate_params(mesh, model), tx)
+        pstep = jit_data_parallel(train, mesh, batch, donate_state=False)
+        state8, m8 = pstep(state8, shard_batch(mesh, batch))
+
+        assert float(m1["train_loss"]) == pytest.approx(
+            float(m8["train_loss"]), rel=1e-5
+        )
+        l1 = jax.tree_util.tree_leaves(state1.params)
+        l8 = jax.tree_util.tree_leaves(state8.params)
+        # cross-device psum reduction order differs from single-device sum;
+        # adam's g/sqrt(v) normalization amplifies that to ~1e-4 on params
+        for a, b in zip(l1, l8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
