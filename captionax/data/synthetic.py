@@ -1,0 +1,81 @@
+"""Synthetic fixtures: the reference corpus's images and GloVe vectors are
+not in the snapshot (dangling symlinks, SURVEY.md §2.9), so end-to-end runs
+and benchmarks use deterministic synthetic images over the REAL caption
+text (data/factual_train.txt ships 35k real lines)."""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from captionax.core.vocab import Vocab, build_vocab
+from captionax.data.flickr import FlickrStyleData
+
+_STYLED_TEMPLATES_HUMOUR = [
+    "a dog dreams of winning the great ball championship",
+    "a child plots a daring escape up the stairs",
+    "two men argue about who lost the chess match",
+    "a woman teaches her cat advanced physics",
+]
+_STYLED_TEMPLATES_ROMANTIC = [
+    "a dog waits faithfully for his beloved friend",
+    "a child climbs toward a warm and loving home",
+    "two men share a quiet evening in the park",
+    "a woman watches the sunset with gentle eyes",
+]
+_FACTUAL_TEMPLATES = [
+    "a dog runs across the green grass",
+    "a child in a pink dress climbs the stairs",
+    "two men are playing chess in a park",
+    "a woman is standing near the water",
+    "a group of people walk down the street",
+]
+
+
+def synthetic_image(name: str, hw: Tuple[int, int] = (224, 224)) -> np.ndarray:
+    """Deterministic pseudo-image from the image name (uint8 RGB)."""
+    seed = int.from_bytes(hashlib.sha1(name.encode()).digest()[:4], "little")
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    img = np.kron(base, np.ones((hw[0] // 8, hw[1] // 8, 1), dtype=np.uint8))
+    return img[: hw[0], : hw[1]]
+
+
+def synthetic_flickr_style(
+    num_images: int = 64,
+    vocab: Optional[Vocab] = None,
+    max_len: int = 25,
+    factual_lines: Optional[List[str]] = None,
+) -> FlickrStyleData:
+    """A small FlickrStyle-shaped dataset with deterministic images.
+
+    If ``factual_lines`` is given (e.g. real lines from
+    /root/reference/data/factual_train.txt), those captions are used;
+    otherwise templated captions."""
+    factual = []
+    humour, romantic = [], []
+    for i in range(num_images):
+        name = f"synthetic_{i}.jpg"
+        for k in range(5):
+            if factual_lines is not None:
+                cap = factual_lines[(i * 5 + k) % len(factual_lines)]
+            else:
+                cap = _FACTUAL_TEMPLATES[(i + k) % len(_FACTUAL_TEMPLATES)]
+            factual.append((name, cap))
+        humour.append(_STYLED_TEMPLATES_HUMOUR[i % len(_STYLED_TEMPLATES_HUMOUR)])
+        romantic.append(_STYLED_TEMPLATES_ROMANTIC[i % len(_STYLED_TEMPLATES_ROMANTIC)])
+    if vocab is None:
+        vocab = build_vocab(
+            [c for _, c in factual] * 2,  # *2 defeats the min-count filter
+            [humour, romantic],
+        )
+    return FlickrStyleData(
+        factual=factual,
+        humour=humour,
+        romantic=romantic,
+        vocab=vocab,
+        image_loader=synthetic_image,
+        max_len=max_len,
+    )

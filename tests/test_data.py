@@ -1,0 +1,169 @@
+"""Data pipeline tests on the REAL reference caption files."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from captionax.data.cc import (
+    ConceptualCaptionsData,
+    domain_list,
+    extract_domain,
+    load_cc_captions,
+)
+from captionax.data.domains import DomainEmbedder, jensen_shannon
+from captionax.data.flickr import FlickrStyleData, load_factual_captions
+from captionax.data.loader import BatchLoader
+from captionax.data.synthetic import synthetic_flickr_style
+from captionax.data.transforms import preprocess_images
+
+FACTUAL = "/root/reference/data/factual_train.txt"
+CC = "/root/reference/data/200_conceptual_train.txt"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(FACTUAL), reason="reference data not mounted"
+)
+
+
+class TestFlickrParsing:
+    @needs_ref
+    def test_factual_file(self):
+        rows = load_factual_captions(FACTUAL)
+        assert len(rows) == 35000  # 7k images x 5 captions
+        name, cap = rows[0]
+        assert name.endswith(".jpg") and len(cap.split()) > 3
+
+    @needs_ref
+    def test_dataset_with_real_captions(self, ref_vocab):
+        rows = load_factual_captions(FACTUAL)
+        data = synthetic_flickr_style(
+            num_images=16, vocab=ref_vocab,
+            factual_lines=[c for _, c in rows[:200]],
+        )
+        batches = list(
+            data.batches(range(16), batch_size=8, style="factual", seed=1)
+        )
+        assert len(batches) == 2
+        b = batches[0]
+        assert b["captions"].shape == (8, 25)
+        assert b["images"].shape == (8, 224, 224, 3)
+        assert b["style_id"] == 4
+
+    def test_style_id_quirk(self):
+        data = synthetic_flickr_style(num_images=4)
+        # the reference collate names it 'humour'; vocab has 'humorous',
+        # so the style id falls to <unk>=3 — preserved behavior
+        assert data.style_id("humour") == 3
+        assert data.style_id("factual") == 4
+        assert data.style_id("romantic") == 6
+
+    def test_random_style_batches_cover_styles(self):
+        data = synthetic_flickr_style(num_images=32)
+        styles = {
+            b["style"]
+            for b in data.batches(range(32), 4, style="random", seed=3)
+        }
+        assert len(styles) >= 2
+
+    def test_splits_disjoint(self):
+        data = synthetic_flickr_style(num_images=50)
+        tr, va, te = data.splits(seed=0)
+        assert len(tr) == 40 and len(va) == 5 and len(te) == 5
+        assert not (set(tr) & set(va)) and not (set(va) & set(te))
+
+
+class TestCC:
+    @needs_ref
+    def test_parse_and_domains(self):
+        rows = load_cc_captions(CC)
+        assert len(rows) > 1000
+        doms = domain_list(CC)
+        assert len(doms) > 10
+        assert all(len(r) == 3 for r in rows[:5])
+
+    @needs_ref
+    def test_homogeneous_batches(self, ref_vocab):
+        data = ConceptualCaptionsData(
+            load_cc_captions(CC)[:2000], ref_vocab, image_loader=None
+        )
+        for b in data.batches(batch_size=8, with_images=False):
+            assert b["captions"].shape == (8, 25)
+            # batch is single-domain by construction
+            assert isinstance(b["domain"], str)
+
+    @needs_ref
+    def test_split_by_domain(self, ref_vocab):
+        data = ConceptualCaptionsData(
+            load_cc_captions(CC)[:3000], ref_vocab, image_loader=None
+        )
+        tr, va, te = data.split_by_domain(2, 2)
+        assert len(tr) + len(va) + len(te) == len(data)
+        assert not (set(tr) & set(va))
+
+    def test_extract_domain(self):
+        assert extract_domain("https://www.alamy.com/foo.jpg") == "alamy"
+        assert extract_domain("http://img.thesun.co.uk/x.jpg") == "thesun"
+
+
+class TestDomainEmbedders:
+    @needs_ref
+    @pytest.mark.parametrize(
+        "scheme", ["one hot", "embedding", "histograme", "histograme log",
+                   "histograme tfidf", "JSD"]
+    )
+    def test_all_schemes(self, ref_vocab, scheme):
+        doms = domain_list(CC)[:12]
+        emb = DomainEmbedder(
+            scheme, ref_vocab, doms, hyper_emb=10, cap_path=CC, n_tsne=2
+        )
+        params = emb.init_params(jax.random.PRNGKey(0))
+        vec = emb.embed(params, emb.host_vector(doms[0]))
+        assert vec.shape == (emb.hyper_emb,)
+        assert bool(np.isfinite(np.asarray(vec)).all())
+
+    @needs_ref
+    def test_one_hot_zero_shot_ids(self, ref_vocab):
+        doms = domain_list(CC)[:5]
+        emb = DomainEmbedder(
+            "one hot", ref_vocab, doms, cap_path=CC,
+            zero_shot_domains=["unseen-a", "unseen-b"],
+        )
+        assert emb.table["unseen-a"] == 100 and emb.table["unseen-b"] == 101
+        assert emb.hyper_emb == 102  # reference quirk: ids >= 100
+
+    def test_jensen_shannon_vs_scipy(self):
+        scipy_dist = pytest.importorskip("scipy.spatial.distance")
+        p = np.array([1.0, 2.0, 3.0, 0.0])
+        q = np.array([2.0, 1.0, 1.0, 1.0])
+        assert jensen_shannon(p, q) == pytest.approx(
+            float(scipy_dist.jensenshannon(p, q)), rel=1e-9
+        )
+
+
+class TestPipeline:
+    def test_preprocess_images_device(self):
+        imgs = np.random.RandomState(0).randint(
+            0, 255, (2, 224, 224, 3), dtype=np.uint8
+        )
+        out = np.asarray(preprocess_images(imgs))
+        assert out.shape == (2, 224, 224, 3)
+        assert abs(out.mean()) < 3.0  # normalized scale
+
+    def test_batch_loader_prefetch(self):
+        data = synthetic_flickr_style(num_images=16)
+        loader = BatchLoader(
+            data.batches(range(16), 4, style="factual"), prefetch=2
+        )
+        batches = list(loader)
+        assert len(batches) == 4
+        assert hasattr(batches[0]["captions"], "devices")  # on device
+
+    def test_batch_loader_propagates_errors(self):
+        def bad_gen():
+            yield {"captions": np.zeros((2, 4), np.int32)}
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(BatchLoader(bad_gen(), prefetch=1))
