@@ -1,0 +1,75 @@
+"""Train the FlickrStyle hypernet captioner.
+
+Equivalent of ``python hypernet_attention.py`` / ``train_captioning.py``
+(/root/reference/hypernet_attention.py:353-456): random per-batch style,
+CE on teacher-forced logits, plateau LR on TF val loss, top-1 checkpoint,
+then beam-search test per style.
+
+    python -m captionax.cli.train_hypernet --synthetic --max-epochs 2
+"""
+
+from __future__ import annotations
+
+import jax
+
+from captionax.cli.common import (
+    build_encoder,
+    build_hypernet_model,
+    make_parser,
+    maybe_load_glove,
+    parse_configs,
+    resolve_flickr_data,
+    resolve_vocab,
+)
+from captionax.train.harness import CaptionTrainer
+
+
+def main(argv=None):
+    parser = make_parser(__doc__)
+    parser.add_argument("--encoder-weights", type=str, default="",
+                        help="torchvision resnet state_dict (.pt) to fold")
+    args = parser.parse_args(argv)
+    model_cfg, train_cfg, data_cfg = parse_configs(args)
+
+    vocab = resolve_vocab(data_cfg)
+    model_cfg.vocab_size = len(vocab)
+    data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
+    print(f"vocab={len(vocab)} images={len(data)}")
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    k1, k2 = jax.random.split(key)
+    params = build_hypernet_model(model_cfg, vocab, k1)
+    params = maybe_load_glove(params, data_cfg, vocab, model_cfg.embed_size)
+    encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
+
+    trainer = CaptionTrainer(
+        params, "hypernet", train_cfg, vocab,
+        encoder_params=encoder_params, run_name=args.run_name,
+    )
+    train_idx, val_idx, test_idx = data.splits(seed=train_cfg.seed)
+
+    history = trainer.fit(
+        lambda epoch: data.batches(
+            train_idx, train_cfg.batch_size, style="random",
+            seed=train_cfg.seed + epoch,
+        ),
+        lambda: data.batches(
+            val_idx, train_cfg.batch_size, style="random",
+            seed=train_cfg.seed, shuffle=False, drop_remainder=False,
+        ),
+    )
+    # per-style beam test, mirroring the reference's three test loaders
+    for style in ("factual", "humour", "romantic"):
+        res = trainer.test_beam(
+            data.batches(
+                test_idx, train_cfg.batch_size, style=style,
+                seed=0, shuffle=False, drop_remainder=False,
+            )
+        )
+        trainer.logger.log({f"test_{style}_{k}": v for k, v in res.items()})
+        print(style, {k: round(v, 4) for k, v in res.items()})
+    return history
+
+
+if __name__ == "__main__":
+    main()

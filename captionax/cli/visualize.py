@@ -1,0 +1,118 @@
+"""HTML caption visualizer.
+
+Equivalent of the dominate-based visualizers
+(/root/reference/visualize_flickr.py:13-115, visualize_gru.py,
+build_html in train_attention_gru.py:63-90): decode test images per style
+and emit an HTML table of image / predicted caption / ground truth.
+dominate isn't installed, so the HTML is assembled directly.
+
+    python -m captionax.cli.visualize --synthetic --out report.html
+"""
+
+from __future__ import annotations
+
+import base64
+import html
+import io
+import os
+
+import jax
+import numpy as np
+
+from captionax.cli.common import (
+    build_encoder,
+    build_hypernet_model,
+    make_parser,
+    parse_configs,
+    resolve_flickr_data,
+    resolve_vocab,
+)
+from captionax.data.transforms import preprocess_images
+from captionax.decode import greedy
+from captionax.eval.metrics import ids_to_text
+from captionax.models.encoder import encoder_cnn
+from captionax.models.hypernet import hypernet_apply
+from captionax.models.layers import embedding
+from captionax.train.checkpoint import restore_checkpoint
+
+STYLES = ("factual", "humour", "romantic")
+
+
+def img_to_data_uri(img: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def render_rows(rows) -> str:
+    cells = []
+    for row in rows:
+        tds = "".join(
+            f"<td style='padding:6px;border:1px solid #ccc'>{c}</td>" for c in row
+        )
+        cells.append(f"<tr>{tds}</tr>")
+    return (
+        "<html><body><table style='border-collapse:collapse'>"
+        + "".join(cells)
+        + "</table></body></html>"
+    )
+
+
+def main(argv=None):
+    parser = make_parser(__doc__)
+    parser.add_argument("--out", type=str, default="report.html")
+    parser.add_argument("--num-images", type=int, default=8)
+    parser.add_argument("--encoder-weights", type=str, default="")
+    args = parser.parse_args(argv)
+    model_cfg, train_cfg, data_cfg = parse_configs(args)
+
+    vocab = resolve_vocab(data_cfg)
+    model_cfg.vocab_size = len(vocab)
+    data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    params = build_hypernet_model(model_cfg, vocab, k1)
+    try:
+        params = restore_checkpoint(train_cfg.checkpoint_dir, like=params)
+        print(f"loaded checkpoint from {train_cfg.checkpoint_dir}")
+    except FileNotFoundError:
+        print("no checkpoint; visualizing the random-init model")
+    encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
+
+    encode = jax.jit(lambda imgs: encoder_cnn(encoder_params, preprocess_images(imgs)))
+    decode = jax.jit(
+        lambda feats, theta: greedy(
+            params["decoder"], feats, max_len=train_cfg.max_len, gru_params=theta
+        )
+    )
+
+    rows = [["image"] + [f"<b>{s}</b>" for s in STYLES] + ["ground truth"]]
+    n = min(args.num_images, len(data))
+    imgs = np.stack([data.image(i) for i in range(n)])
+    feats = encode(imgs)
+    per_style_tokens = {}
+    for style in STYLES:
+        style_embed = embedding(
+            params["decoder"]["embed"], np.int32(vocab(style))
+        )
+        theta = hypernet_apply(params["hn"], style_embed)
+        per_style_tokens[style] = np.asarray(decode(feats, theta))
+    for i in range(n):
+        gt = ids_to_text(data.caption_ids("factual", i, pick=0), vocab)
+        row = [f"<img src='{img_to_data_uri(imgs[i])}' width='160'>"]
+        for style in STYLES:
+            row.append(html.escape(ids_to_text(per_style_tokens[style][i], vocab)))
+        row.append(html.escape(gt))
+        rows.append(row)
+
+    with open(args.out, "w") as f:
+        f.write(render_rows(rows))
+    print(f"wrote {os.path.abspath(args.out)} ({n} images)")
+    return args.out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Configuration dataclasses for models and training.
+
+Replaces the reference's hard-coded ``__main__`` hparams and scattered
+argparse (/root/reference/cc_train_hypernet.py:361-409,
+train_captioning.py:18-32) with one typed config surface; every CLI maps
+flags onto these.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class ModelConfig:
+    # reference defaults: HyperNet(200, 200, 200, len(vocab), vocab)
+    num_features: int = 2048
+    feature_size: int = 200
+    embed_size: int = 200
+    hidden_size: int = 200
+    vocab_size: int = 9684
+    num_layers: int = 1
+    dropout: float = 0.0
+    # hypernet
+    hyper_emb: int = 10
+    hn_n: int = 1
+    hn_m: int = 500
+    # encoder
+    encoder_depth: int = 152
+    regions: int = 49
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 5e-3
+    batch_size: int = 64
+    max_epochs: int = 20
+    grad_clip: float = 5.0
+    plateau_factor: float = 0.5
+    plateau_patience: int = 10
+    plateau_cooldown: int = 2
+    teacher_forcing_prob: float = 0.0  # reference sample_prob semantics
+    seed: int = 0
+    max_len: int = 25
+    beam_size: int = 3
+    beam_max_steps: int = 50
+    mixup: bool = False
+    mixup_alpha: float = 0.3
+    log_every: int = 20
+    checkpoint_dir: str = "checkpoints"
+    metrics_every_epochs: int = 1
+
+
+@dataclass
+class DataConfig:
+    img_dir: str = "data/flickr7k_images"
+    factual_captions: str = "data/factual_train.txt"
+    humour_captions: str = "data/humor/funny_train.txt"
+    romantic_captions: str = "data/romantic/romantic_train.txt"
+    cc_captions: str = "data/200_conceptual_train.txt"
+    cc_oneshot_captions: str = "data/one_shot_captions.txt"
+    vocab_path: str = "data/vocab.pkl"
+    glove_path: str = ""
+    synthetic: bool = False
+    synthetic_images: int = 64
+    domain_scheme: str = "one hot"
+    n_tsne: int = 2
+
+
+def add_dataclass_args(parser, cls, prefix: str = "") -> None:
+    for f in dataclasses.fields(cls):
+        name = f"--{prefix}{f.name.replace('_', '-')}"
+        if f.type == "bool" or f.type is bool:
+            parser.add_argument(name, action="store_true", default=f.default)
+        else:
+            typ = {"int": int, "float": float, "str": str}.get(str(f.type), str)
+            parser.add_argument(name, type=typ, default=f.default)
+
+
+def dataclass_from_args(args, cls, prefix: str = ""):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        attr = f"{prefix}{f.name}"
+        if hasattr(args, attr):
+            kwargs[f.name] = getattr(args, attr)
+    return cls(**kwargs)

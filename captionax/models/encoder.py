@@ -64,6 +64,10 @@ def resnet_init(key, depth: int = 152) -> Dict:
                 "conv2": _conv_bn_init(next(keys), 3, 3, width, width),
                 "conv3": _conv_bn_init(next(keys), 1, 1, width, cout),
             }
+            # zero the block-output scale (torchvision zero_init_residual):
+            # without real BN statistics, dozens of residual adds at scale 1
+            # blow random-init activations up exponentially
+            block["conv3"]["scale"] = jnp.zeros_like(block["conv3"]["scale"])
             if b == 0:
                 block["downsample"] = _conv_bn_init(next(keys), 1, 1, cin, cout)
             blocks.append(block)

@@ -1,0 +1,223 @@
+"""The training/eval harness: the PyTorch-Lightning-trainer equivalent.
+
+One ``CaptionTrainer`` drives every model family the reference spreads
+over ~12 LightningModule subclasses (SURVEY.md §1 L4): plain GRU/LSTM
+captioners, the FlickrStyle hypernet, and the CC domain hypernet.
+
+Differences from the reference, by design (SURVEY.md §7.1):
+- quality metrics (BLEU/METEOR/ROUGE/CIDEr) run on accumulated eval
+  decodes, not synchronously on every training step — the reference's
+  dominant CPU cost;
+- the encoder runs as its own jitted program over each batch's images
+  (or is skipped when the pipeline delivers precomputed features);
+- checkpoints are Orbax trees, LR plateau mirrors
+  ReduceLROnPlateau(cooldown=2, factor=0.5) on 'val_loss with TF'.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captionax.core.config import TrainConfig
+from captionax.data.loader import BatchLoader
+from captionax.data.transforms import preprocess_images
+from captionax.decode import beam_search
+from captionax.eval.metrics import CaptionMetrics, metric_score_test
+from captionax.models.encoder import encoder_cnn
+from captionax.train.checkpoint import BestCheckpointer
+from captionax.train.logging import MetricLogger
+from captionax.train.state import (
+    PlateauScheduler,
+    TrainState,
+    create_train_state,
+    get_lr,
+    make_optimizer,
+    set_lr,
+)
+from captionax.train.steps import (
+    jit_data_parallel,
+    make_gru_steps,
+    make_hypernet_steps,
+    style_token_embed,
+)
+
+DEVICE_BATCH_KEYS = ("features", "captions", "style_id", "domain_value")
+
+
+class CaptionTrainer:
+    def __init__(
+        self,
+        params,
+        kind: str,  # 'gru' | 'hypernet'
+        config: TrainConfig,
+        vocab,
+        encoder_params=None,
+        embed_fn: Callable = style_token_embed,
+        mesh=None,
+        logger: Optional[MetricLogger] = None,
+        run_name: str = "run",
+    ):
+        self.config = config
+        self.vocab = vocab
+        self.kind = kind
+        self.mesh = mesh
+        self.encoder_params = encoder_params
+        self.logger = logger or MetricLogger(config.checkpoint_dir, run_name)
+        self.tx = make_optimizer(config.lr, config.grad_clip)
+        self.state = create_train_state(params, self.tx)
+        self._embed_fn = embed_fn
+        if kind == "gru":
+            train_step, eval_step = make_gru_steps(self.tx)
+        else:
+            train_step, eval_step = make_hypernet_steps(self.tx, embed_fn=embed_fn)
+        if mesh is not None:
+            self._train_step = None  # jitted lazily with example batch
+            self._raw_train_step = train_step
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._raw_train_step = train_step
+        self._eval_step = jax.jit(eval_step)
+        self._encode = jax.jit(
+            lambda p, imgs: encoder_cnn(p, preprocess_images(imgs))
+        )
+        self.scheduler = PlateauScheduler(
+            factor=config.plateau_factor,
+            patience=config.plateau_patience,
+            cooldown=config.plateau_cooldown,
+        )
+        self.checkpointer = BestCheckpointer(config.checkpoint_dir)
+        self.global_step = 0
+
+    # -- plumbing -------------------------------------------------------
+    def _featurize(self, batch: Dict) -> Dict:
+        if "features" not in batch and "images" in batch:
+            assert self.encoder_params is not None, "encoder params required"
+            batch = dict(batch)
+            batch["features"] = self._encode(self.encoder_params, batch["images"])
+        return {k: v for k, v in batch.items() if k in DEVICE_BATCH_KEYS}
+
+    def _get_train_step(self, example_batch):
+        if self._train_step is None:
+            self._train_step = jit_data_parallel(
+                self._raw_train_step, self.mesh, example_batch
+            )
+        return self._train_step
+
+    @property
+    def params(self):
+        return self.state.params
+
+    def decoder_params(self):
+        return self.params["decoder"] if self.kind != "gru" else self.params
+
+    # -- loops ----------------------------------------------------------
+    def fit(
+        self,
+        train_batches: Callable[[int], Iterable[Dict]],
+        val_batches: Optional[Callable[[], Iterable[Dict]]] = None,
+    ) -> Dict:
+        """train_batches(epoch) / val_batches() yield host batch dicts."""
+        cfg = self.config
+        history = {}
+        for epoch in range(cfg.max_epochs):
+            t0 = time.time()
+            n, loss_sum = 0, 0.0
+            for batch in BatchLoader(train_batches(epoch), mesh=self.mesh):
+                db = self._featurize(batch)
+                step_fn = self._get_train_step(db)
+                self.state, metrics = step_fn(self.state, db)
+                self.global_step += 1
+                n += 1
+                loss_sum += float(metrics["train_loss"])
+                if self.global_step % cfg.log_every == 0:
+                    self.logger.log(
+                        {"train_loss": float(metrics["train_loss"]),
+                         "lr": get_lr(self.state), "epoch": epoch},
+                        step=self.global_step,
+                    )
+            epoch_metrics = {
+                "epoch": epoch,
+                "train_loss_epoch": loss_sum / max(n, 1),
+                "epoch_seconds": time.time() - t0,
+            }
+            if val_batches is not None:
+                val = self.validate(val_batches())
+                epoch_metrics.update(val)
+                lr = self.scheduler.step(val["val_loss_tf"], get_lr(self.state))
+                if lr != get_lr(self.state):
+                    self.state = set_lr(self.state, lr)
+                self.checkpointer.maybe_save(
+                    val["val_loss_tf"], self.global_step, self.state.params
+                )
+            self.logger.log(epoch_metrics, step=self.global_step)
+            history[epoch] = epoch_metrics
+        return history
+
+    def validate(self, batches: Iterable[Dict],
+                 with_quality_metrics: bool = True) -> Dict:
+        sums: Dict[str, float] = {"val_loss_tf": 0.0, "val_loss": 0.0}
+        n = 0
+        quality = CaptionMetrics(self.vocab) if with_quality_metrics else None
+        for batch in BatchLoader(batches, mesh=None):
+            db = self._featurize(batch)
+            out = self._eval_step(self.params, db)
+            sums["val_loss_tf"] += float(out["val_loss_tf"])
+            sums["val_loss"] += float(out["val_loss"])
+            if quality is not None:
+                quality.add_batch_logits(
+                    np.asarray(db["captions"]), np.asarray(out["logits_tf"])
+                )
+            n += 1
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        if quality is not None and n:
+            out.update({f"val_{k}": v for k, v in quality.compute().items()})
+        return out
+
+    def test_beam(self, batches: Iterable[Dict]) -> Dict:
+        """Reference test_step: k-beam decode + metrics of the best
+        hypothesis against the batch refs, plus TF metrics."""
+        cfg = self.config
+        agg: Dict[str, float] = {}
+        n_scored = 0
+        tf_quality = CaptionMetrics(self.vocab)
+
+        @jax.jit
+        def beam_step(params, features, theta):
+            return beam_search(
+                params, features, k=cfg.beam_size,
+                max_steps=cfg.beam_max_steps, gru_params=theta,
+            )
+
+        from captionax.models.hypernet import hypernet_apply
+
+        for batch in BatchLoader(batches, mesh=None):
+            db = self._featurize(batch)
+            if self.kind == "gru":
+                decoder, theta = self.params, None
+            else:
+                decoder = self.params["decoder"]
+                theta = hypernet_apply(
+                    self.params["hn"], self._embed_fn(self.params, db)
+                )
+            res = beam_step(decoder, db["features"], theta)
+            found = np.asarray(res.found)
+            toks = np.asarray(res.tokens)
+            caps = np.asarray(db["captions"])
+            for i in range(len(found)):
+                if not found[i]:
+                    continue
+                scores = metric_score_test(caps[i : i + 1], toks[i], self.vocab)
+                for k, v in scores.items():
+                    agg[f"beam_{k}"] = agg.get(f"beam_{k}", 0.0) + v
+                n_scored += 1
+            out = self._eval_step(self.params, db)
+            tf_quality.add_batch_logits(caps, np.asarray(out["logits_tf"]))
+        result = {k: v / max(n_scored, 1) for k, v in agg.items()}
+        result.update({f"tf_{k}": v for k, v in tf_quality.compute().items()})
+        result["beam_completed"] = n_scored
+        return result

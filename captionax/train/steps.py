@@ -77,6 +77,12 @@ def make_gru_steps(tx, pad_id: int = 0):
 
 
 # -------------------------------------------------------------- hypernet
+def style_token_embed(params, batch):
+    """FlickrStyle conditioning: the decoder embedding-table row of the
+    (batch-homogeneous) style token id."""
+    return embedding(params["decoder"]["embed"], batch["style_id"])
+
+
 def synthesize_theta(params, style_id):
     """Batch-homogeneous weight synthesis: style token -> embed row ->
     hypernet -> GRU theta (one set per batch, like the reference)."""
@@ -89,10 +95,14 @@ def synthesize_theta_batched(params, style_embeds):
     return jax.vmap(lambda e: hypernet_apply(params["hn"], e))(style_embeds)
 
 
-def make_hypernet_steps(tx, pad_id: int = 0):
+def make_hypernet_steps(tx, pad_id: int = 0, embed_fn: Callable = style_token_embed):
+    """``embed_fn(params, batch) -> style/domain embedding`` selects the
+    conditioning source: vocab style tokens (FlickrStyle) or a
+    DomainEmbedder projection reading batch['domain_value'] (CC)."""
+
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
-            theta = synthesize_theta(params, batch["style_id"])
+            theta = hypernet_apply(params["hn"], embed_fn(params, batch))
             logits = _tf_logits(params["decoder"], batch, gru_params=theta)
             return cross_entropy_loss(logits, batch["captions"], pad_id)
 
@@ -101,7 +111,7 @@ def make_hypernet_steps(tx, pad_id: int = 0):
         return state, {"train_loss": loss}
 
     def eval_step(params, batch) -> Dict:
-        theta = synthesize_theta(params, batch["style_id"])
+        theta = hypernet_apply(params["hn"], embed_fn(params, batch))
         logits_tf = _tf_logits(params["decoder"], batch, gru_params=theta)
         logits_fr = _tf_logits(
             params["decoder"],
