@@ -1,0 +1,100 @@
+"""Train the CATR (DETR-style encoder-decoder) transformer baseline.
+
+Equivalent of ``python cc_train_catr.py`` (/root/reference/cc_train_catr.py
+— whose LightningModule is broken in the snapshot: undefined
+self.image_encoder/self.generator, missing dataloader module; this is the
+working realization of its intent): causal teacher-forced CE over CC or
+FlickrStyle captions with the reference CATR hyperparameters
+(hidden 256, 8 heads, 6+6 layers, configuration.py).
+
+    python -m captionax.cli.train_catr --synthetic --max-epochs 2 \
+        --enc-layers 2 --dec-layers 2
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from captionax.cli.common import (
+    build_encoder,
+    make_parser,
+    parse_configs,
+    resolve_flickr_data,
+    resolve_vocab,
+)
+from captionax.data.loader import BatchLoader
+from captionax.data.transforms import preprocess_images
+from captionax.eval.metrics import CaptionMetrics
+from captionax.models.catr import catr_forward, catr_greedy, catr_init
+from captionax.models.encoder import encoder_cnn
+from captionax.train.logging import MetricLogger
+from captionax.train.losses import cross_entropy_loss
+from captionax.train.state import create_train_state, get_lr, make_optimizer
+
+
+def main(argv=None):
+    parser = make_parser(__doc__)
+    parser.add_argument("--hidden", type=int, default=256)
+    parser.add_argument("--heads", type=int, default=8)
+    parser.add_argument("--enc-layers", type=int, default=6)
+    parser.add_argument("--dec-layers", type=int, default=6)
+    parser.add_argument("--encoder-weights", type=str, default="")
+    args = parser.parse_args(argv)
+    model_cfg, train_cfg, data_cfg = parse_configs(args)
+
+    vocab = resolve_vocab(data_cfg)
+    data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
+    print(f"vocab={len(vocab)} images={len(data)}")
+
+    key = jax.random.PRNGKey(train_cfg.seed)
+    k1, k2 = jax.random.split(key)
+    params = catr_init(
+        k1, len(vocab), hidden=args.hidden, num_heads=args.heads,
+        ff=2048, enc_layers=args.enc_layers, dec_layers=args.dec_layers,
+    )
+    encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
+    tx = make_optimizer(train_cfg.lr, train_cfg.grad_clip)
+    state = create_train_state(params, tx)
+    logger = MetricLogger(train_cfg.checkpoint_dir, args.run_name)
+
+    encode = jax.jit(lambda imgs: encoder_cnn(encoder_params, preprocess_images(imgs)))
+
+    @jax.jit
+    def train_step(state, feats, caps):
+        def loss_fn(p):
+            # inputs caps[:, :-1] predict caps[:, 1:] (causal shift)
+            logits = catr_forward(p, feats, caps[:, :-1])
+            return cross_entropy_loss(logits, caps[:, 1:])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads, tx), loss
+
+    train_idx, val_idx, _ = data.splits(seed=train_cfg.seed)
+    step = 0
+    for epoch in range(train_cfg.max_epochs):
+        for batch in BatchLoader(
+            data.batches(train_idx, train_cfg.batch_size, style="factual",
+                         seed=train_cfg.seed + epoch)
+        ):
+            feats = encode(batch["images"])
+            state, loss = train_step(state, feats, batch["captions"])
+            step += 1
+            if step % train_cfg.log_every == 0:
+                logger.log({"train_loss": float(loss), "epoch": epoch}, step)
+        print(f"epoch {epoch} train_loss {float(loss):.4f} lr {get_lr(state):.2e}")
+
+    sample = next(iter(BatchLoader(
+        data.batches(val_idx, min(4, train_cfg.batch_size), style="factual",
+                     seed=0, shuffle=False, drop_remainder=False)
+    )))
+    feats = encode(sample["images"])
+    ids = catr_greedy(state.params, feats, max_len=train_cfg.max_len)
+    quality = CaptionMetrics(vocab)
+    quality.add_batch_ids(np.asarray(sample["captions"]), np.asarray(ids))
+    print("greedy metrics:", {k: round(v, 4) for k, v in quality.compute().items()})
+    return state
+
+
+if __name__ == "__main__":
+    main()

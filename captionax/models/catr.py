@@ -1,0 +1,123 @@
+"""CATR: DETR-style encoder-decoder transformer captioner.
+
+Reference: /root/reference/baseline/transformer.py + caption.py +
+configuration.py.  Image feature map -> 1x1-conv projection to hidden_dim
+-> 6-layer encoder with 2D sine positional embeddings added to q/k at
+every layer -> 6-layer causal decoder over caption embeddings with
+learned positional embeddings -> 3-layer MLP head to the vocab.  Pre-norm
+by default (config.pre_norm=True).
+
+Reference defaults (configuration.py): hidden 256, 8 heads, ffn 2048,
+6+6 layers, max_position 128.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from captionax.models.layers import embedding, linear, linear_init
+from captionax.models.transformer import (
+    causal_mask,
+    detr_decoder_layer,
+    detr_decoder_layer_init,
+    detr_encoder_layer,
+    detr_encoder_layer_init,
+    layer_norm,
+    layer_norm_init,
+    sine_position_2d,
+)
+
+
+def catr_init(
+    key,
+    vocab_size: int,
+    hidden: int = 256,
+    num_heads: int = 8,
+    ff: int = 2048,
+    enc_layers: int = 6,
+    dec_layers: int = 6,
+    max_position: int = 128,
+    image_dim: int = 2048,
+) -> Dict:
+    keys = jax.random.split(key, enc_layers + dec_layers + 6)
+    it = iter(keys)
+    return {
+        "input_proj": linear_init(next(it), image_dim, hidden),  # 1x1 conv
+        "word_emb": jax.random.normal(next(it), (vocab_size, hidden)) * 0.02,
+        "tgt_pos_emb": jax.random.normal(next(it), (max_position, hidden)) * 0.02,
+        "encoder": [detr_encoder_layer_init(next(it), hidden, num_heads, ff)
+                    for _ in range(enc_layers)],
+        "enc_ln": layer_norm_init(hidden),
+        "decoder": [detr_decoder_layer_init(next(it), hidden, num_heads, ff)
+                    for _ in range(dec_layers)],
+        "dec_ln": layer_norm_init(hidden),
+        "mlp": {
+            "l0": linear_init(next(it), hidden, 512),
+            "l1": linear_init(next(it), 512, 512),
+            "l2": linear_init(next(it), 512, vocab_size),
+        },
+    }
+
+
+def _num_heads(params) -> int:
+    return max(params["word_emb"].shape[1] // 32, 1)
+
+
+def catr_forward(
+    params: Dict,
+    image_features: jnp.ndarray,  # [B, R, 2048], R = h*w
+    captions: jnp.ndarray,        # [B, T] int ids
+    grid_hw=(7, 7),
+    pre_norm: bool = True,
+) -> jnp.ndarray:
+    """-> logits [B, T, V], teacher-forced (causal self-attention)."""
+    B, R, _ = image_features.shape
+    T = captions.shape[1]
+    heads = _num_heads(params)
+    hidden = params["word_emb"].shape[1]
+
+    src = linear(params["input_proj"], image_features)  # [B, R, H]
+    pos = sine_position_2d(grid_hw[0], grid_hw[1], hidden)[None]
+    x = src
+    for layer in params["encoder"]:
+        x = detr_encoder_layer(layer, x, pos, heads, pre_norm)
+    if pre_norm:
+        x = layer_norm(params["enc_ln"], x)
+    memory = x
+
+    tgt = embedding(params["word_emb"], captions)
+    tgt_pos = params["tgt_pos_emb"][:T][None]
+    tmask = causal_mask(T)
+    y = tgt
+    for layer in params["decoder"]:
+        y = detr_decoder_layer(
+            layer, y, memory, tgt_pos, pos, heads, pre_norm, tgt_mask=tmask
+        )
+    if pre_norm:
+        y = layer_norm(params["dec_ln"], y)
+
+    h = jax.nn.relu(linear(params["mlp"]["l0"], y))
+    h = jax.nn.relu(linear(params["mlp"]["l1"], h))
+    return linear(params["mlp"]["l2"], h)
+
+
+def catr_greedy(
+    params, image_features, max_len: int = 25, bos_id: int = 1, eos_id: int = 2,
+    grid_hw=(7, 7),
+) -> jnp.ndarray:
+    """Greedy autoregressive decode with a fixed-shape token buffer (the
+    full prefix re-runs each step — caption lengths are tiny, so this is
+    cheaper on TPU than maintaining a KV cache for T<=25)."""
+    B = image_features.shape[0]
+    ids = jnp.full((B, max_len), 0, jnp.int32).at[:, 0].set(bos_id)
+
+    def body(t, ids):
+        logits = catr_forward(params, image_features, ids, grid_hw)
+        nxt = logits[:, t].argmax(-1).astype(jnp.int32)
+        return ids.at[:, t + 1].set(nxt)
+
+    ids = jax.lax.fori_loop(0, max_len - 1, body, ids)
+    return ids
