@@ -28,9 +28,9 @@ NF, FO, E, H, V, K, MAX_STEPS, R = 2048, 200, 200, 200, 9684, 3, 50, 49
 
 
 def main(batch: int = 256, iters: int = 20):
-    from captionax.decode import beam_search
     from captionax.models import decoder as dec
     from captionax.models.hypernet import hypernet_init
+    from captionax.ops.decode_kernel import fused_beam_search
     from captionax.train.steps import synthesize_theta
 
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -44,9 +44,9 @@ def main(batch: int = 256, iters: int = 20):
     @jax.jit
     def styled_beam(params, features, style_id):
         theta = synthesize_theta(params, style_id)
-        return beam_search(
-            params["decoder"], features, k=K, max_steps=MAX_STEPS,
-            gru_params=theta,
+        return fused_beam_search(
+            params["decoder"], features, gru_params=theta,
+            max_steps=MAX_STEPS,
         )
 
     import numpy as np
