@@ -21,6 +21,10 @@ import json
 import time
 
 import jax
+
+from captionax.core.runtime import setup_runtime
+
+setup_runtime()
 import jax.numpy as jnp
 
 TORCH_CPU_BASELINE_CAPS_PER_SEC = 13.14  # benchmarks/torch_cpu_baseline.py

@@ -12,6 +12,10 @@ from __future__ import annotations
 import argparse
 import os
 
+from captionax.core.runtime import setup_runtime
+
+setup_runtime()  # persistent compilation cache for every CLI
+
 import jax
 
 from captionax.core.config import (

@@ -1,0 +1,183 @@
+"""Dataset preprocessing utilities (text-side).
+
+Subcommand equivalents of the reference's preprocessing scripts:
+- ``flickr-select``    — preprocess.py:7-100: keep the factual captions of
+  the images that have styled captions (the FlickrStyle 7k subset) and
+  emit a random held-out test list;
+- ``cc-split``         — preprocess_cc.py: per-domain val/test split of a
+  CC caption file into separate files;
+- ``merge-all``        — combine_dataset/preprocess.py: merge Flickr and
+  CC captions into one ``all_caption.txt`` (5-space format, styles as
+  pseudo-domains);
+- ``analyze-domains``  — conceptual_caption_analyze_domain.py: domain
+  frequency counts;
+- ``shuffle``          — deterministic line shuffling.
+
+Image scraping (parse_conceptual_captions.py / create_data_cc.py) needs
+network egress; the URL-and-caption selection logic lives in
+``captionax.data.cc.extract_domain`` + this module's ``gcc-select``,
+which filters a GCC TSV down to per-domain caption files the rest of the
+pipeline consumes (image download left to the environment that has
+network access).
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+from collections import Counter
+
+from captionax.data.cc import SEP, extract_domain, load_cc_captions
+from captionax.data.flickr import load_factual_captions
+
+
+def flickr_select(args):
+    rows = load_factual_captions(args.factual)
+    with open(args.styled_names) as f:
+        keep = {line.strip() for line in f if line.strip()}
+    out_rows = [(n, c) for n, c in rows if n in keep]
+    with open(args.out, "w") as f:
+        for i, (n, c) in enumerate(out_rows):
+            f.write(f"{n}#{i % 5}\t{c}\n")
+    names = sorted({n for n, _ in out_rows})
+    rng = random.Random(args.seed)
+    test = rng.sample(names, min(args.num_test, len(names)))
+    with open(args.out + ".test", "w") as f:
+        f.write("\n".join(test) + "\n")
+    print(f"kept {len(out_rows)} captions / {len(names)} images; "
+          f"{len(test)} test images")
+
+
+def cc_split(args):
+    rows = load_cc_captions(args.captions)
+    by_dom = {}
+    for row in rows:
+        by_dom.setdefault(row[2], []).append(row)
+    rng = random.Random(args.seed)
+    train, val, test = [], [], []
+    for dom, items in by_dom.items():
+        rng.shuffle(items)
+        val.extend(items[: args.val_per_domain])
+        test.extend(items[args.val_per_domain : args.val_per_domain + args.test_per_domain])
+        train.extend(items[args.val_per_domain + args.test_per_domain :])
+    for name, data in (("train", train), ("val", val), ("test", test)):
+        with open(f"{args.out_prefix}_{name}.txt", "w") as f:
+            for img, cap, dom in data:
+                f.write(f"{img}{SEP}{cap}{SEP}{dom}\n")
+    print(f"train {len(train)} val {len(val)} test {len(test)} "
+          f"across {len(by_dom)} domains")
+
+
+def merge_all(args):
+    out = []
+    for row in load_cc_captions(args.cc):
+        out.append(SEP.join(row))
+    rows = load_factual_captions(args.factual)
+    for name, cap in rows:
+        out.append(SEP.join((name, cap, "f")))
+    for path, dom in ((args.humour, "h"), (args.romantic, "r")):
+        if path:
+            with open(path) as f:
+                for i, line in enumerate(f):
+                    out.append(SEP.join((f"flickr_{i}.jpg", line.strip(), dom)))
+    rng = random.Random(args.seed)
+    rng.shuffle(out)
+    with open(args.out, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"merged {len(out)} captions -> {args.out}")
+
+
+def analyze_domains(args):
+    counts = Counter(dom for _, _, dom in load_cc_captions(args.captions))
+    for dom, n in counts.most_common(args.top):
+        print(f"{n:6d}  {dom}")
+    print(f"total domains: {len(counts)}")
+
+
+def gcc_select(args):
+    """Filter a GCC TSV (caption\\turl) into 5-space caption rows per
+    domain, capped per domain (parse_conceptual_captions.py:46-206)."""
+    per_dom: dict = {}
+    idx = 0
+    with open(args.tsv) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            cap, url = parts[0], parts[1]
+            dom = extract_domain(url)
+            bucket = per_dom.setdefault(dom, [])
+            if len(bucket) < args.per_domain:
+                idx += 1
+                bucket.append((f"{idx}.jpg", cap, dom, url))
+    keep = {d: b for d, b in per_dom.items() if len(b) >= args.min_per_domain}
+    with open(args.out, "w") as f, open(args.out + ".urls", "w") as fu:
+        for bucket in keep.values():
+            for img, cap, dom, url in bucket:
+                f.write(f"{img}{SEP}{cap}{SEP}{dom}\n")
+                fu.write(f"{img}\t{url}\n")
+    print(f"{sum(map(len, keep.values()))} captions across {len(keep)} domains")
+
+
+def shuffle(args):
+    with open(args.infile) as f:
+        lines = f.readlines()
+    random.Random(args.seed).shuffle(lines)
+    with open(args.out, "w") as f:
+        f.writelines(lines)
+    print(f"shuffled {len(lines)} lines")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("flickr-select")
+    s.add_argument("--factual", required=True)
+    s.add_argument("--styled-names", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--num-test", type=int, default=100)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=flickr_select)
+
+    s = sub.add_parser("cc-split")
+    s.add_argument("--captions", required=True)
+    s.add_argument("--out-prefix", required=True)
+    s.add_argument("--val-per-domain", type=int, default=2)
+    s.add_argument("--test-per-domain", type=int, default=2)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cc_split)
+
+    s = sub.add_parser("merge-all")
+    s.add_argument("--cc", required=True)
+    s.add_argument("--factual", required=True)
+    s.add_argument("--humour", default="")
+    s.add_argument("--romantic", default="")
+    s.add_argument("--out", required=True)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=merge_all)
+
+    s = sub.add_parser("analyze-domains")
+    s.add_argument("--captions", required=True)
+    s.add_argument("--top", type=int, default=30)
+    s.set_defaults(fn=analyze_domains)
+
+    s = sub.add_parser("gcc-select")
+    s.add_argument("--tsv", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--per-domain", type=int, default=200)
+    s.add_argument("--min-per-domain", type=int, default=50)
+    s.set_defaults(fn=gcc_select)
+
+    s = sub.add_parser("shuffle")
+    s.add_argument("--infile", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=shuffle)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Train the style/domain caption classifiers.
+
+Covers the reference classifier family (SURVEY.md §2.6):
+- ``--kind style3``  — BertClassifer, 3-way factual/humour/romantic
+  (bert_text_classifier.py);
+- ``--kind style4``  — 4-way f/h/r/CC (style_classifier_all.py);
+- ``--kind domain``  — one class per CC domain (cc_domain_classifier.py);
+- ``--kind small``   — the embedding+linear StyleClassifer (classifier.py);
+- ``--kind essence`` — siamese same-image pair classifier
+  (bert_essence_classifier.py).
+
+The BERT trunk is randomly initialized (no pretrained downloads here) or
+loaded from a user-supplied HF state_dict via --bert-weights.
+
+    python -m captionax.cli.train_classifier --kind small --synthetic
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captionax.cli.common import make_parser, parse_configs, resolve_vocab
+from captionax.data.cc import load_cc_captions
+from captionax.data.flickr import STYLE_NAMES
+from captionax.cli.common import resolve_flickr_data
+from captionax.models.classifiers import (
+    STYLE_LABELS,
+    essence_classifier_apply,
+    essence_classifier_init,
+    small_style_classifier_apply,
+    small_style_classifier_init,
+    style_classifier_apply,
+    style_classifier_init,
+)
+from captionax.train.logging import MetricLogger
+from captionax.train.state import create_train_state, make_optimizer
+
+
+def _style_examples(data, vocab, indices, rng):
+    """(ids [T], label) pairs across the three styles."""
+    for i in indices:
+        for style in STYLE_NAMES:
+            yield data.caption_ids(style, i, rng=rng), STYLE_LABELS[style]
+
+
+def main(argv=None):
+    parser = make_parser(__doc__)
+    parser.add_argument("--kind", type=str, default="small",
+                        choices=["style3", "style4", "domain", "small", "essence"])
+    parser.add_argument("--bert-hidden", type=int, default=768)
+    parser.add_argument("--bert-layers", type=int, default=12)
+    parser.add_argument("--bert-weights", type=str, default="")
+    args = parser.parse_args(argv)
+    model_cfg, train_cfg, data_cfg = parse_configs(args)
+
+    vocab = resolve_vocab(data_cfg)
+    V = len(vocab)
+    data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
+    key = jax.random.PRNGKey(train_cfg.seed)
+
+    if args.kind == "domain":
+        rows = load_cc_captions(data_cfg.cc_captions)
+        domains = sorted({d for _, _, d in rows})
+        dom_id = {d: i for i, d in enumerate(domains)}
+        num_class = len(domains)
+        examples = [
+            (np.array(vocab.encode(cap)[: train_cfg.max_len]), dom_id[d])
+            for _, cap, d in rows
+        ]
+    else:
+        num_class = {"style3": 3, "style4": 4, "small": 3}.get(args.kind, 2)
+        import random as _r
+
+        rng = _r.Random(train_cfg.seed)
+        examples = list(_style_examples(data, vocab, range(len(data)), rng))
+    print(f"kind={args.kind} classes={num_class} examples={len(examples)}")
+
+    if args.kind == "small":
+        params = small_style_classifier_init(key, V, model_cfg.embed_size, num_class)
+        apply_fn = lambda p, ids, mask: small_style_classifier_apply(p, ids)  # noqa: E731
+    elif args.kind == "essence":
+        params = essence_classifier_init(key, V, args.bert_hidden, args.bert_layers)
+        apply_fn = None
+    else:
+        params = style_classifier_init(key, V, num_class, args.bert_hidden,
+                                       args.bert_layers)
+        if args.bert_weights:
+            import torch
+
+            from captionax.models.classifiers import bert_trunk_from_hf_state_dict
+
+            params["bert"] = bert_trunk_from_hf_state_dict(
+                torch.load(args.bert_weights, map_location="cpu"),
+                args.bert_hidden, args.bert_layers,
+            )
+        apply_fn = style_classifier_apply
+
+    tx = make_optimizer(train_cfg.lr, train_cfg.grad_clip)
+    state = create_train_state(params, tx)
+    logger = MetricLogger(train_cfg.checkpoint_dir, args.run_name)
+
+    def pad_to(ids, T):
+        out = np.zeros((T,), np.int32)
+        out[: min(len(ids), T)] = ids[:T]
+        return out
+
+    T = train_cfg.max_len
+
+    if args.kind == "essence":
+        # pairs: same image across styles (label 1) vs different (label 0)
+        import random as _r
+
+        rng = _r.Random(0)
+
+        def batches(epoch):
+            idx = list(range(len(data)))
+            rng.shuffle(idx)
+            for s in range(0, len(idx) - train_cfg.batch_size, train_cfg.batch_size):
+                chunk = idx[s : s + train_cfg.batch_size]
+                a, b, y = [], [], []
+                for i in chunk:
+                    same = rng.random() < 0.5
+                    j = i if same else rng.choice(idx)
+                    a.append(pad_to(data.caption_ids("factual", i, rng=rng), T))
+                    b.append(pad_to(data.caption_ids("humour", j, rng=rng), T))
+                    y.append(1 if same else 0)
+                yield np.stack(a), np.stack(b), np.array(y, np.int32)
+
+        @jax.jit
+        def step(state, a, b, y):
+            def loss_fn(p):
+                probs = essence_classifier_apply(
+                    p, a, (a != 0).astype(jnp.float32),
+                    b, (b != 0).astype(jnp.float32),
+                )
+                return -jnp.mean(
+                    jnp.log(probs[jnp.arange(len(y)), y] + 1e-9)
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads, tx), loss
+
+        gstep = 0
+        for epoch in range(train_cfg.max_epochs):
+            for a, b, y in batches(epoch):
+                state, loss = step(state, a, b, y)
+                gstep += 1
+                if gstep % train_cfg.log_every == 0:
+                    logger.log({"train_loss": float(loss)}, gstep)
+            print(f"epoch {epoch} loss {float(loss):.4f}")
+        return state
+
+    import random as _r
+
+    rng = _r.Random(1)
+
+    def batches():
+        ex = list(examples)
+        rng.shuffle(ex)
+        for s in range(0, len(ex) - train_cfg.batch_size, train_cfg.batch_size):
+            chunk = ex[s : s + train_cfg.batch_size]
+            ids = np.stack([pad_to(np.asarray(c[0]), T) for c in chunk])
+            labels = np.array([c[1] for c in chunk], np.int32)
+            yield ids, labels
+
+    @jax.jit
+    def step(state, ids, labels):
+        def loss_fn(p):
+            probs = apply_fn(p, ids, (ids != 0).astype(jnp.float32))
+            return -jnp.mean(jnp.log(probs[jnp.arange(len(labels)), labels] + 1e-9))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads, tx), loss
+
+    gstep = 0
+    for epoch in range(train_cfg.max_epochs):
+        correct = total = 0
+        for ids, labels in batches():
+            state, loss = step(state, ids, labels)
+            gstep += 1
+            if gstep % train_cfg.log_every == 0:
+                probs = apply_fn(state.params, ids, (ids != 0).astype(jnp.float32))
+                correct += int((np.asarray(probs).argmax(-1) == labels).sum())
+                total += len(labels)
+                logger.log({"train_loss": float(loss)}, gstep)
+        acc = correct / max(total, 1)
+        print(f"epoch {epoch} loss {float(loss):.4f} sampled-acc {acc:.3f}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Runtime setup: persistent compilation cache + profiling helpers.
+
+Every CLI calls :func:`setup_runtime` first.  The persistent compilation
+cache matters a lot in this environment: TPU compiles go through a remote
+compile service (~30 s-several min per program), and the cache makes every
+subsequent process start instantly for already-seen shapes.
+
+Profiling (SURVEY.md §5 — the reference has no tracing at all): wrap any
+region in :func:`trace` to dump a TensorBoard-compatible trace, and use
+:class:`StepTimer` for lightweight per-step wall timings with correct
+device synchronization (under the axon relay, ``block_until_ready`` is
+not a completion barrier — a device->host transfer is).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Dict, List, Optional
+
+_SETUP_DONE = False
+
+
+def setup_runtime(cache_dir: str = "~/.cache/captionax-jax") -> None:
+    """Enable the persistent compilation cache (idempotent)."""
+    global _SETUP_DONE
+    if _SETUP_DONE:
+        return
+    import jax
+
+    path = os.path.expanduser(cache_dir)
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+    _SETUP_DONE = True
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/captionax-trace"):
+    """jax.profiler trace context (view with TensorBoard/xprof)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_barrier(x) -> None:
+    """Reliable completion barrier: a tiny device->host transfer (the
+    axon relay returns early from block_until_ready)."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+class StepTimer:
+    """Per-step wall timing with percentile summaries."""
+
+    def __init__(self):
+        self.times: List[float] = []
+        self._t0: Optional[float] = None
+
+    def start(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def stop(self, result=None) -> float:
+        if result is not None:
+            device_barrier(result)
+        dt = time.perf_counter() - self._t0
+        self.times.append(dt)
+        return dt
+
+    def summary(self) -> Dict[str, float]:
+        if not self.times:
+            return {}
+        ts = sorted(self.times)
+        n = len(ts)
+        return {
+            "steps": n,
+            "mean_ms": sum(ts) / n * 1e3,
+            "p50_ms": ts[n // 2] * 1e3,
+            "p90_ms": ts[min(int(n * 0.9), n - 1)] * 1e3,
+            "max_ms": ts[-1] * 1e3,
+        }

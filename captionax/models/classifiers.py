@@ -133,6 +133,19 @@ def small_style_classifier_apply(params, token_ids):
     return jax.nn.softmax(linear(params["fc"], x), axis=-1)
 
 
+def small_style_classifier_apply_soft(params, token_probs):
+    """Differentiable variant over token distributions [B, T, V]: the
+    expected embedding replaces the hard lookup, so the mixup style loss
+    (hypernet_attention.py:147-191) back-propagates into the hypernet —
+    the reference's text round-trip through a BERT tokenizer is
+    gradient-dead there."""
+    x = jnp.einsum("btv,ve->bte", token_probs, params["embed"])
+    x = jax.nn.leaky_relu(x)
+    x = jax.nn.leaky_relu(linear(params["proj"], x))
+    x = x.mean(axis=1)
+    return jax.nn.softmax(linear(params["fc"], x), axis=-1)
+
+
 def bert_trunk_from_hf_state_dict(state_dict, hidden: int = 768,
                                   num_layers: int = 12) -> Dict:
     """Convert a HuggingFace BertModel state_dict into our trunk pytree."""

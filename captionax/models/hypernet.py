@@ -42,9 +42,13 @@ from captionax.models.rnn import gru_theta_unflatten
 Params = Dict[str, object]
 
 
-def gru_tensor_sizes(input_dim: int, hidden_dim: int) -> List[Tuple[str, int]]:
-    """Generated tensor order = torch GRUCell named_parameters order."""
-    g = 3 * hidden_dim
+def gru_tensor_sizes(
+    input_dim: int, hidden_dim: int, gates: int = 3
+) -> List[Tuple[str, int]]:
+    """Generated tensor order = torch cell named_parameters order.
+    gates=3 for GRUCell, 4 for LSTMCell (the reference's non-attention
+    hypernet generates either, hypernet.py:69-99)."""
+    g = gates * hidden_dim
     return [
         ("w_ih", g * input_dim),
         ("w_hh", g * hidden_dim),
@@ -68,11 +72,13 @@ def hypernet_init(
     hidden_dim: int,
     N: int = 1,
     M: int = 500,
+    gates: int = 3,
     dtype=jnp.float32,
 ) -> Params:
-    """Initialize base + per-tensor heads for a GRU(input_dim, hidden_dim)."""
+    """Initialize base + per-tensor heads for a recurrent cell
+    (gates=3: GRU; gates=4: LSTM)."""
     h = N * hyper_emb
-    sizes = gru_tensor_sizes(input_dim, hidden_dim)
+    sizes = gru_tensor_sizes(input_dim, hidden_dim, gates)
     keys = jax.random.split(key, len(sizes) + 1)
     return {
         "base": mlp_init(keys[0], (hyper_emb, h, h), dtype),
@@ -92,8 +98,8 @@ def hypernet_apply(hn: Params, style_embed: jnp.ndarray) -> Dict[str, jnp.ndarra
     pytree — they would trace under jit).
     """
     heads = hn["heads"]
-    g = heads["b_ih"]["l1"]["b"].shape[0]           # 3*hidden
-    hidden_dim = g // 3
+    g = heads["b_ih"]["l1"]["b"].shape[0]           # gates * hidden
+    hidden_dim = heads["w_hh"]["l1"]["b"].shape[0] // g
     input_dim = heads["w_ih"]["l1"]["b"].shape[0] // g
     base = mlp(hn["base"], style_embed, final_act=True)  # LeakyReLU after both
     flat = {name: mlp(heads[name], base) for name in ("w_ih", "w_hh", "b_ih", "b_hh")}

@@ -129,6 +129,66 @@ def make_hypernet_steps(tx, pad_id: int = 0, embed_fn: Callable = style_token_em
     return train_step, eval_step
 
 
+def make_hypernet_mixup_steps(
+    tx,
+    classifier_params,
+    pad_id: int = 0,
+    alpha: float = 0.3,
+    style_ids=(4, 3, 6),
+    embed_fn: Callable = style_token_embed,
+):
+    """Hypernet training with the style-mixup auxiliary loss
+    (hypernet_attention.py:147-191): interpolate two style embeddings,
+    free-run the decoder with the synthesized weights, score the caption
+    with a (frozen) style classifier, and MSE the class probabilities
+    against the mix coefficients.  loss = alpha*CE + (1-alpha)*style_loss.
+
+    Differs from the reference by design: the classifier consumes the
+    soft token distribution (expected embeddings) so the style loss is
+    differentiable end-to-end; the reference decodes to a string and
+    re-tokenizes, which passes no gradient.  ``style_ids`` defaults to
+    the reference's vocab mapping {factual: 4, humour: <unk>=3,
+    romantic: 6}."""
+    from captionax.models.classifiers import small_style_classifier_apply_soft
+    from captionax.train.losses import mixup_style_target
+
+    sid = jnp.asarray(style_ids, jnp.int32)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        k_coeff, k_missing, k_sample = jax.random.split(rng, 3)
+        coeff = jax.random.uniform(k_coeff)
+        missing = jax.random.randint(k_missing, (), 0, 3)
+        # remaining styles in list order: m=0 -> (h, r); 1 -> (f, r); 2 -> (f, h)
+        s1 = jnp.where(missing == 0, sid[1], sid[0])
+        s2 = jnp.where(missing == 2, sid[1], sid[2])
+
+        def loss_fn(params):
+            theta = hypernet_apply(params["hn"], embed_fn(params, batch))
+            logits = _tf_logits(params["decoder"], batch, gru_params=theta)
+            ce = cross_entropy_loss(logits, batch["captions"], pad_id)
+
+            emb = params["decoder"]["embed"]
+            mix_embed = coeff * emb[s1] + (1.0 - coeff) * emb[s2]
+            theta_mix = hypernet_apply(params["hn"], mix_embed)
+            logits_mix = _tf_logits(
+                params["decoder"], batch, sample_prob=1.0, rng=k_sample,
+                gru_params=theta_mix,
+            )
+            probs = jax.nn.softmax(logits_mix, axis=-1)
+            pred = small_style_classifier_apply_soft(classifier_params, probs)
+            target = mixup_style_target(coeff, missing)
+            style_loss = jnp.mean((pred - target[None, :]) ** 2)
+            return alpha * ce + (1.0 - alpha) * style_loss, (ce, style_loss)
+
+        (loss, (ce, sl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads, tx)
+        return state, {"train_loss": loss, "ce_loss": ce, "style_loss": sl}
+
+    return train_step
+
+
 def batch_shardings(mesh, example_batch):
     """Per-leaf shardings: leading axis over ``data`` for arrays,
     replicated for scalars (style_id)."""
