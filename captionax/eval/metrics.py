@@ -97,7 +97,9 @@ def _assemble(tok_hyps, tok_refs, hyp_strs, ref_strs) -> Dict[str, float]:
     bleu = _bleu_suite(tok_hyps, tok_refs)
     cider_refs = [[" ".join(r[0])] for r in tok_refs]
     cider_hyps = [" ".join(h) for h in tok_hyps]
-    cider, _ = cider_score(cider_hyps, cider_refs)
+    from captionax.eval.cider_native import cider_score_native
+
+    cider, _ = cider_score_native(cider_hyps, cider_refs)
     return {
         "bleu1": bleu[0],
         "bleu2": bleu[1],
