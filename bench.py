@@ -31,7 +31,7 @@ TORCH_CPU_BASELINE_CAPS_PER_SEC = 13.14  # benchmarks/torch_cpu_baseline.py
 NF, FO, E, H, V, K, MAX_STEPS, R = 2048, 200, 200, 200, 9684, 3, 50, 49
 
 
-def main(batch: int = 256, iters: int = 20):
+def main(batch: int = 1024, iters: int = 10):
     from captionax.models import decoder as dec
     from captionax.models.hypernet import hypernet_init
     from captionax.ops.decode_kernel import fused_beam_search

@@ -162,6 +162,27 @@ def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int):
     return v3, i3, logz
 
 
+def _chunked_logits_top1(h_new, fcw_ref, fcb_ref, vp: int):
+    """Vocab-chunked argmax of the logits (greedy fast path: one
+    max/argmax per chunk, no masking rounds, no logsumexp)."""
+    rows = h_new.shape[0]
+    c = _vocab_chunk(vp)
+    best_v = jnp.full((rows,), NEG_INF)
+    best_i = jnp.zeros((rows,), jnp.int32)
+    for j in range(vp // c):
+        logits = (
+            jnp.dot(h_new, fcw_ref[:, j * c:(j + 1) * c],
+                    preferred_element_type=jnp.float32)
+            + fcb_ref[j * c:(j + 1) * c]
+        )
+        v = jnp.max(logits, axis=1)
+        i = _first_argmax(logits, axis=1) + j * c
+        take = v > best_v
+        best_v = jnp.where(take, v, best_v)
+        best_i = jnp.where(take, i, best_i)
+    return best_i
+
+
 def _embed_lookup(tok, emb_ref, vp: int):
     """Chunked one-hot matmul embedding gather: tok [Rows] -> [Rows, E]."""
     rows = tok.shape[0]
@@ -206,8 +227,7 @@ def _greedy_kernel(feats_ref, att1_ref, h0_ref,
             word, h, feats_ref[:], att1_ref[:], ua_w, ua_b, va,
             wih_t, whh_t, bih, bhh, hd,
         )
-        _, i3, _ = _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp)
-        nxt = i3[:, 0]  # argmax(log_softmax) == argmax(logits)
+        nxt = _chunked_logits_top1(h_new, fcw_ref, fcb_ref, vp)
         emit = jnp.where(done == 1, 0, nxt)
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, max_len), 1)
         out_ref[:] = jnp.where(col == t, emit[:, None], out_ref[:])
