@@ -1,0 +1,184 @@
+"""End-to-end harness tests at tiny dims on CPU (precomputed features),
+plus checkpoint roundtrips and the streaming/combined data paths."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from captionax.core.config import TrainConfig
+from captionax.models import decoder as dec
+from captionax.models.hypernet import hypernet_init
+from captionax.train.harness import CaptionTrainer
+
+NF, F, E, H, V = 24, 12, 12, 12, 37
+B, R, T = 4, 9, 8
+
+
+def feature_batches(vocab_size, n_batches=3, seed=0, styles=True):
+    rng = np.random.RandomState(seed)
+    for i in range(n_batches):
+        batch = {
+            "features": rng.randn(B, R, NF).astype(np.float32),
+            "captions": rng.randint(1, vocab_size, (B, T)).astype(np.int32),
+            "lengths": np.full((B,), T, np.int32),
+        }
+        if styles:
+            batch["style_id"] = np.int32([4, 3, 6][i % 3])
+        yield batch
+
+
+class FakeVocab:
+    def __init__(self, n):
+        self.w2i = {f"w{i}": i for i in range(n)}
+        self.i2w = {i: f"w{i}" for i in range(n)}
+        self.w2i["<pad>"] = 0
+        self.i2w[0] = "<pad>"
+        self.i2w[1] = "<s>"
+        self.i2w[2] = "</s>"
+
+    def decode(self, ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            if i in (0, 1):
+                continue
+            if i == 2:
+                break
+            out.append(self.i2w.get(i, "<unk>"))
+        return out
+
+    def __len__(self):
+        return len(self.i2w)
+
+
+@pytest.fixture()
+def model():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    return {
+        "decoder": dec.attention_gru_init(k1, NF, F, E, H, V),
+        "hn": hypernet_init(k2, hyper_emb=E, input_dim=E + F, hidden_dim=H),
+    }
+
+
+class TestTrainerFit:
+    def test_fit_validate_beam(self, model, tmp_path):
+        cfg = TrainConfig(max_epochs=2, batch_size=B, lr=1e-3,
+                          checkpoint_dir=str(tmp_path), log_every=1,
+                          beam_max_steps=10)
+        trainer = CaptionTrainer(model, "hypernet", cfg, FakeVocab(V),
+                                 run_name="t")
+        hist = trainer.fit(
+            lambda epoch: feature_batches(V, seed=epoch),
+            lambda: feature_batches(V, n_batches=1, seed=99),
+        )
+        assert len(hist) == 2
+        assert np.isfinite(hist[1]["train_loss_epoch"])
+        assert "val_loss_tf" in hist[1]
+        # top-1 checkpoint written
+        from captionax.train.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(str(tmp_path), like=model)
+        assert jax.tree_util.tree_structure(restored) == \
+            jax.tree_util.tree_structure(model)
+        res = trainer.test_beam(feature_batches(V, n_batches=1, seed=7))
+        assert "tf_bleu1" in res
+
+    def test_gru_kind(self, model, tmp_path):
+        cfg = TrainConfig(max_epochs=1, batch_size=B, lr=1e-3,
+                          checkpoint_dir=str(tmp_path))
+        trainer = CaptionTrainer(model["decoder"], "gru", cfg, FakeVocab(V),
+                                 run_name="g")
+        hist = trainer.fit(
+            lambda epoch: feature_batches(V, styles=False),
+            lambda: feature_batches(V, n_batches=1, styles=False),
+        )
+        assert np.isfinite(hist[0]["train_loss_epoch"])
+
+
+class TestCheckpointRoundtrip:
+    def test_save_restore_exact(self, model, tmp_path):
+        from captionax.train.checkpoint import (
+            graft_pretrained_captioner,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        save_checkpoint(str(tmp_path / "ck"), 3, model)
+        back = restore_checkpoint(str(tmp_path / "ck"), like=model)
+        for a, b in zip(jax.tree_util.tree_leaves(model),
+                        jax.tree_util.tree_leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_module_surgery(self, model):
+        from captionax.train.checkpoint import graft_pretrained_captioner
+
+        donor = dec.attention_gru_init(jax.random.PRNGKey(9), NF, F, E, H, V)
+        grafted = graft_pretrained_captioner(model, donor)
+        np.testing.assert_array_equal(
+            np.asarray(grafted["decoder"]["embed"]), np.asarray(donor["embed"])
+        )
+        # gru tensors NOT grafted (hypernet generates them)
+        np.testing.assert_array_equal(
+            np.asarray(grafted["decoder"]["gru"]["w_ih"]),
+            np.asarray(model["decoder"]["gru"]["w_ih"]),
+        )
+
+
+class TestStreamingCC:
+    def test_fallback_batches(self, tiny_vocab, tmp_path):
+        from captionax.data.cc_stream import StreamingCC, load_gcc_tsv
+
+        tsv = tmp_path / "gcc.tsv"
+        rows = []
+        for i in range(20):
+            rows.append(f"a dog runs {i}\thttps://www.alamy.com/img{i}.jpg")
+            rows.append(f"a cat sits {i}\thttps://img.shutterstock.com/{i}.jpg")
+        tsv.write_text("\n".join(rows))
+        parsed = load_gcc_tsv(str(tsv))
+        assert len(parsed) == 40
+        data = StreamingCC(parsed, tiny_vocab, fetcher=None, max_len=10)
+        batches = list(data.batches(batch_size=4))
+        assert batches
+        for b in batches:
+            assert b["images"].shape == (4, 224, 224, 3)
+            assert b["captions"].shape == (4, 10)
+            assert b["domain"] in ("alamy", "shutterstock")
+
+    def test_failing_fetcher_falls_back(self, tiny_vocab, tmp_path):
+        from captionax.data.cc_stream import FALLBACK_CAPTION, StreamingCC
+
+        rows = [("a dog runs", "http://x/1.jpg", "alamy")] * 4
+
+        def bad_fetch(url):
+            raise IOError("no egress")
+
+        data = StreamingCC(rows, tiny_vocab, fetcher=bad_fetch, max_len=10)
+        b = next(iter(data.batches(batch_size=4)))
+        # fallback caption encoded instead of the TSV caption
+        expected = np.zeros((10,), np.int32)
+        ids = tiny_vocab.encode(FALLBACK_CAPTION)[:10]
+        expected[: len(ids)] = ids
+        np.testing.assert_array_equal(b["captions"][0], expected)
+
+
+class TestCombined:
+    def test_batches_cover_both_sources(self, ref_vocab):
+        if not os.path.exists("/root/reference/data/200_conceptual_train.txt"):
+            pytest.skip("reference data not mounted")
+        from captionax.data.cc import ConceptualCaptionsData, load_cc_captions
+        from captionax.data.combine import CombinedData
+        from captionax.data.synthetic import synthetic_flickr_style
+
+        flickr = synthetic_flickr_style(num_images=16, vocab=ref_vocab)
+        cc = ConceptualCaptionsData(
+            load_cc_captions("/root/reference/data/200_conceptual_train.txt")[:500],
+            ref_vocab, image_loader=None,
+        )
+        combined = CombinedData(flickr, cc)
+        domains = {b["domain"] for b in combined.batches(8, seed=0)}
+        assert domains & {"f", "h", "r"}, "no flickr batches"
+        assert domains - {"f", "h", "r"}, "no cc batches"
