@@ -1,0 +1,89 @@
+"""Measure training-step throughput at reference dims on the TPU.
+
+Two stages, reported separately and combined:
+- encoder: frozen ResNet-152 over 224x224 images (bf16) -> [B,49,2048];
+- hypernet train step: style -> theta synthesis + teacher-forced CE +
+  Adam update over hypernet + shared decoder params.
+
+    python benchmarks/train_throughput.py [batch]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from captionax.core.runtime import setup_runtime
+
+setup_runtime()
+
+import jax
+import jax.numpy as jnp
+
+from captionax.data.transforms import preprocess_images
+from captionax.models import decoder as dec
+from captionax.models.encoder import encoder_cnn, resnet_init
+from captionax.models.hypernet import hypernet_init
+from captionax.train.state import create_train_state, make_optimizer
+from captionax.train.steps import make_hypernet_steps
+
+NF, FO, E, H, V, R, T = 2048, 200, 200, 200, 9684, 49, 25
+
+
+def timeit(fn, barrier, iters=8):
+    barrier(fn())
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        barrier(fn())
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def main(batch: int = 256):
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    params = {
+        "decoder": dec.attention_gru_init(k1, NF, FO, E, H, V),
+        "hn": hypernet_init(k2, hyper_emb=E, input_dim=E + FO, hidden_dim=H),
+    }
+    enc = resnet_init(k3, 152)
+    images = jax.random.randint(k4, (batch, 224, 224, 3), 0, 255, jnp.uint8)
+
+    encode = jax.jit(lambda imgs: encoder_cnn(enc, preprocess_images(imgs)))
+    t_enc = timeit(lambda: encode(images), lambda x: np.asarray(x[0, 0, 0]))
+
+    feats = encode(images)
+    caps = jax.random.randint(jax.random.PRNGKey(5), (batch, T), 1, V)
+    batch_d = {"features": feats, "captions": caps,
+               "style_id": jnp.asarray(4, jnp.int32)}
+    tx = make_optimizer(5e-3)
+    train_step, _ = make_hypernet_steps(tx)
+    state = create_train_state(params, tx)
+    jstep = jax.jit(train_step, donate_argnums=())
+
+    def one():
+        nonlocal state
+        state, m = jstep(state, batch_d)
+        return m["train_loss"]
+
+    t_step = timeit(one, lambda x: float(x))
+
+    print(json.dumps({
+        "metric": "hypernet_train_images_per_sec_per_chip",
+        "encoder_ms": round(t_enc * 1e3, 2),
+        "train_step_ms": round(t_step * 1e3, 2),
+        "combined_images_per_sec": round(batch / (t_enc + t_step), 1),
+        "train_only_images_per_sec": round(batch / t_step, 1),
+        "batch": batch,
+        "seq_len": T,
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
