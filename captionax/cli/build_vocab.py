@@ -12,11 +12,7 @@ from __future__ import annotations
 import argparse
 import pickle
 
-from captionax.core.vocab import (
-    Vocab,
-    build_vocab,
-    extract_factual_caption_lines,
-)
+from captionax.core.vocab import build_vocab, extract_factual_caption_lines
 from captionax.data.cc import load_cc_captions
 from captionax.data.flickr import load_styled_captions
 

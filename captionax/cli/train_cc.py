@@ -12,7 +12,6 @@ network egress.
 from __future__ import annotations
 
 import jax
-import numpy as np
 
 from captionax.cli.cc_train_hypernet import attach_domain_values
 from captionax.cli.common import (

@@ -12,9 +12,7 @@ plateau LR on val loss.  A [MASK] token is appended to the vocab.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import optax
 
 from captionax.cli.common import (
     build_encoder,
@@ -28,7 +26,6 @@ from captionax.data.transforms import preprocess_images
 from captionax.eval.metrics import CaptionMetrics
 from captionax.models.encoder import encoder_cnn
 from captionax.models.labert import (
-    labert_forward,
     labert_init,
     labert_loss,
     length_bucket,

@@ -22,14 +22,14 @@ at init time and (b) a trainable projection applied on device:
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from captionax.data.cc import load_cc_captions
-from captionax.models.layers import linear, mlp, mlp_init
+from captionax.models.layers import mlp, mlp_init
 
 SCHEMES = (
     "one hot", "embedding", "histograme", "histograme log",

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from captionax.models import decoder as dec
-from captionax.models.layers import embedding, linear
+from captionax.models.layers import embedding
 
 NEG_INF = -1e9
 

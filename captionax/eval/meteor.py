@@ -12,7 +12,7 @@ stages dominate caption-length text, so scores differ only marginally.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Set, Tuple
+from typing import Callable, List, Sequence, Set, Tuple
 
 try:  # pure-code stemmer, no nltk data needed
     from nltk.stem.porter import PorterStemmer

@@ -10,7 +10,7 @@ path (eval only / async host callback), per SURVEY.md §7.1.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

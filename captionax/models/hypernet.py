@@ -31,13 +31,12 @@ Captions it is a domain embedding of dim ``hyper_emb``
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from captionax.models.layers import embedding, linear, linear_init, mlp, mlp_init
-from captionax.models.rnn import gru_theta_unflatten
+from captionax.models.layers import embedding, mlp, mlp_init
 
 Params = Dict[str, object]
 

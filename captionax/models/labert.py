@@ -143,8 +143,6 @@ def labert_loss(
     mask_id: int, pad_id: int = 0, smoothing: float = 0.1,
 ) -> jnp.ndarray:
     """Masked-position label-smoothed CE (train_baseline_labert.py:75-99)."""
-    from captionax.train.losses import label_smoothing_loss
-
     masked_ids, mask_pos = mask_tokens(rng, token_ids, mask_id, pad_id)
     attn = (token_ids != pad_id).astype(jnp.float32)
     R = image_features.shape[1]

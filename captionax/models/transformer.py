@@ -9,7 +9,7 @@ this onto the MXU without custom kernels.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import time
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from captionax.core.config import TrainConfig
@@ -33,7 +32,6 @@ from captionax.train.checkpoint import BestCheckpointer
 from captionax.train.logging import MetricLogger
 from captionax.train.state import (
     PlateauScheduler,
-    TrainState,
     create_train_state,
     get_lr,
     make_optimizer,

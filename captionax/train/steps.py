@@ -27,7 +27,6 @@ Batches are dicts of fixed-shape arrays:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Tuple
 
 import jax
