@@ -64,17 +64,34 @@ def main(argv=None):
     parser = make_parser(__doc__)
     parser.add_argument("--out", type=str, default="report.html")
     parser.add_argument("--num-images", type=int, default=8)
+    parser.add_argument("--dataset", type=str, default="flickr",
+                        choices=["flickr", "cc"],
+                        help="cc = visualize_gru_cc/visualize_hyper_cc: "
+                             "caption CC images per domain")
     parser.add_argument("--encoder-weights", type=str, default="")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
     vocab = resolve_vocab(data_cfg)
     model_cfg.vocab_size = len(vocab)
-    data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
 
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    params = build_hypernet_model(model_cfg, vocab, k1)
+    if args.dataset == "cc":
+        from captionax.cli.cc_train_hypernet import build_cc_model_and_embedder
+        from captionax.data.cc import ConceptualCaptionsData, load_cc_captions
+        from captionax.data.synthetic import synthetic_image
+
+        params, embedder, _ = build_cc_model_and_embedder(
+            model_cfg, data_cfg, vocab, k1
+        )
+        cc = ConceptualCaptionsData(
+            load_cc_captions(data_cfg.cc_captions), vocab,
+            image_loader=synthetic_image, max_len=train_cfg.max_len,
+        )
+    else:
+        params = build_hypernet_model(model_cfg, vocab, k1)
+        data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
     try:
         params = restore_checkpoint(train_cfg.checkpoint_dir, like=params)
         print(f"loaded checkpoint from {train_cfg.checkpoint_dir}")
@@ -88,6 +105,34 @@ def main(argv=None):
             params["decoder"], feats, max_len=train_cfg.max_len, gru_params=theta
         )
     )
+
+    if args.dataset == "cc":
+        # one row per (domain, image): predicted vs ground-truth caption
+        rows = [["image", "<b>domain</b>", "predicted", "ground truth"]]
+        shown = 0
+        for dom in cc.domains:
+            if shown >= args.num_images:
+                break
+            idx = cc.by_domain[dom][0]
+            img = cc.image(idx)
+            feats = encode(img[None])
+            theta = hypernet_apply(
+                params["hn"],
+                embedder.embed(params["domain_emb"],
+                               np.asarray(embedder.host_vector(dom))),
+            )
+            toks = np.asarray(decode(feats, theta))[0]
+            rows.append([
+                f"<img src='{img_to_data_uri(img)}' width='160'>",
+                html.escape(dom),
+                html.escape(ids_to_text(toks, vocab)),
+                html.escape(cc.rows[idx][1]),
+            ])
+            shown += 1
+        with open(args.out, "w") as f:
+            f.write(render_rows(rows))
+        print(f"wrote {os.path.abspath(args.out)} ({shown} domains)")
+        return args.out
 
     rows = [["image"] + [f"<b>{s}</b>" for s in STYLES] + ["ground truth"]]
     n = min(args.num_images, len(data))

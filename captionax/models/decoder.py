@@ -135,28 +135,42 @@ def teacher_forced(
     B, T, E = embeds.shape
 
     use_sampling = sample_prob > 0.0 and rng is not None
-    if use_sampling:
-        step_keys = jax.random.split(rng, T)
-        coins = jax.random.uniform(jax.random.fold_in(rng, T), (T,))
-    else:
-        coins = jnp.zeros((T,))
-        step_keys = jnp.zeros((T, 2), dtype=jnp.uint32)
-
     zero_embed = jnp.zeros((B, E), embeds.dtype)
+    cell = params["gru"] if gru_params is None else gru_params
+
+    if not use_sampling:
+        # pure teacher forcing: logits never feed back into the loop, so
+        # the scan only carries the recurrence (attention + GRU, small
+        # matmuls) and the V-sized projection runs ONCE as a single
+        # [B*T, H] x [H, V] GEMM — the FLOPs-dominant op moves from 25
+        # skinny per-step matmuls onto one MXU-friendly one
+        def body(h, t):
+            word_embed = jnp.where(
+                t == 0, zero_embed, embeds[:, jnp.maximum(t - 1, 0)]
+            )
+            context, attn = bahdanau_attention(params["attention"], features, h)
+            x = jnp.concatenate([word_embed, context], axis=-1)
+            h = gru_cell(cell, x, h)
+            h = _extra_layers(params, h)
+            return h, (h, attn)
+
+        _, (hs, attn) = jax.lax.scan(body, h0, jnp.arange(T))
+        logits = linear(params["fc"], jnp.transpose(hs, (1, 0, 2)))
+        return logits, jnp.transpose(attn, (1, 0, 2))
+
+    step_keys = jax.random.split(rng, T)
+    coins = jax.random.uniform(jax.random.fold_in(rng, T), (T,))
 
     def body(carry, xs):
         h, prev_logits = carry
         t, coin = xs
         tf_embed = jnp.where(t == 0, zero_embed, embeds[:, jnp.maximum(t - 1, 0)])
-        if use_sampling:
-            sampled_ids = jnp.argmax(
-                jax.nn.log_softmax(prev_logits / sample_temp, axis=-1), axis=-1
-            )
-            sampled_embed = embedding(params["embed"], sampled_ids)
-            take_sample = jnp.logical_and(coin < sample_prob, t > 0)
-            word_embed = jnp.where(take_sample, sampled_embed, tf_embed)
-        else:
-            word_embed = tf_embed
+        sampled_ids = jnp.argmax(
+            jax.nn.log_softmax(prev_logits / sample_temp, axis=-1), axis=-1
+        )
+        sampled_embed = embedding(params["embed"], sampled_ids)
+        take_sample = jnp.logical_and(coin < sample_prob, t > 0)
+        word_embed = jnp.where(take_sample, sampled_embed, tf_embed)
         h, logits, attn = decode_step(params, word_embed, h, features, gru_params)
         return (h, logits), (logits, attn)
 
