@@ -88,6 +88,9 @@ def main(argv=None):
         encoder_params=encoder_params, embed_fn=embed_fn,
         run_name=args.run_name,
     )
+    if args.resume:
+        resumed = trainer.maybe_resume(args.resume if args.resume != "auto" else None)
+        print(f"resumed={resumed}")
     train_idx, val_idx, test_idx = data.split_by_domain(2, 2, seed=train_cfg.seed)
     history = trainer.fit(
         lambda epoch: attach_domain_values(

@@ -67,6 +67,9 @@ def main(argv=None):
         encoder_params=encoder_params, embed_fn=embed_fn,
         run_name=args.run_name,
     )
+    if args.resume:
+        resumed = trainer.maybe_resume(args.resume if args.resume != "auto" else None)
+        print(f"resumed={resumed}")
     history = trainer.fit(
         lambda epoch: attach_domain_values(
             data.batches(train_cfg.batch_size, seed=train_cfg.seed + epoch),

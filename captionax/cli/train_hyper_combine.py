@@ -78,6 +78,9 @@ def main(argv=None):
         encoder_params=encoder_params, embed_fn=embed_fn,
         run_name=args.run_name,
     )
+    if args.resume:
+        resumed = trainer.maybe_resume(args.resume if args.resume != "auto" else None)
+        print(f"resumed={resumed}")
     fl_train, fl_val, fl_test = flickr.splits(seed=train_cfg.seed)
     cc_train, cc_val, cc_test = cc.split_by_domain(2, 2, seed=train_cfg.seed)
 

@@ -46,6 +46,9 @@ def main(argv=None):
         params, "hypernet", train_cfg, vocab,
         encoder_params=encoder_params, run_name=args.run_name,
     )
+    if args.resume:
+        resumed = trainer.maybe_resume(args.resume if args.resume != "auto" else None)
+        print(f"resumed={resumed}")
     train_idx, val_idx, test_idx = data.splits(seed=train_cfg.seed)
 
     history = trainer.fit(

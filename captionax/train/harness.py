@@ -91,6 +91,21 @@ class CaptionTrainer:
         self.checkpointer = BestCheckpointer(config.checkpoint_dir)
         self.global_step = 0
 
+    def maybe_resume(self, directory: Optional[str] = None) -> bool:
+        """Restore params from the latest checkpoint if one exists
+        (reference resume = load_from_checkpoint, test_hn.py:67)."""
+        from captionax.train.checkpoint import latest_step, restore_checkpoint
+
+        directory = directory or self.config.checkpoint_dir
+        step = latest_step(directory)
+        if step is None:
+            return False
+        params = restore_checkpoint(directory, like=self.state.params)
+        self.state = self.state._replace(params=params)
+        self.global_step = int(step)
+        self.logger.log({"resumed_from_step": float(step)})
+        return True
+
     # -- plumbing -------------------------------------------------------
     def _featurize(self, batch: Dict) -> Dict:
         if "features" not in batch and "images" in batch:

@@ -32,14 +32,25 @@ class TrainState(NamedTuple):
         )
 
 
-def make_optimizer(learning_rate: float = 5e-3, clip_norm: float = 5.0):
-    """Adam + global-norm clip with an injectable learning rate."""
-    return optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(
+def make_optimizer(learning_rate: float = 5e-3, clip_norm: float = 5.0,
+                   skip_nonfinite: bool = True):
+    """Adam + global-norm clip with an injectable learning rate.
+
+    ``skip_nonfinite`` wraps the update in ``optax.apply_if_finite`` so a
+    NaN/inf gradient step is dropped (parameters and moments untouched)
+    instead of poisoning training — failure containment the reference
+    lacks entirely (SURVEY.md §5)."""
+
+    def build(learning_rate):
+        tx = optax.chain(
             optax.clip_by_global_norm(clip_norm),
             optax.adam(learning_rate),
         )
-    )(learning_rate=learning_rate)
+        if skip_nonfinite:
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+        return tx
+
+    return optax.inject_hyperparams(build)(learning_rate=learning_rate)
 
 
 def create_train_state(params, tx, step: int = 0) -> TrainState:
