@@ -56,12 +56,18 @@ def _first_argmax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def _top3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row top-3 (values, indices) of [N, M] in descending order."""
+    """Per-row top-3 (values, indices) of [N, M] in descending order.
+
+    Each round is max -> first-argmax-via-iota -> mask, sharing the max
+    between value and argmax (one VPU reduction fewer per round than a
+    naive max + argmax pair)."""
     vals, idxs = [], []
     cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    M = x.shape[1]
     for _ in range(3):
         v = jnp.max(x, axis=1)
-        i = _first_argmax(x, axis=1)
+        is_max = x >= v[:, None]
+        i = jnp.min(jnp.where(is_max, cols, M), axis=1)
         vals.append(v)
         idxs.append(i)
         x = jnp.where(cols == i[:, None], NEG_INF, x)
@@ -139,8 +145,8 @@ def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int):
         v3, i3 = _top3(logits)
         vs.append(v3)
         is_.append(i3 + j * c)
-        cm = jnp.max(logits, axis=1)
-        new_m = jnp.maximum(m, cm)
+        # chunk max = the round-1 top value (no extra reduction)
+        new_m = jnp.maximum(m, v3[:, 0])
         ssum = ssum * jnp.exp(m - new_m) + jnp.sum(
             jnp.exp(logits - new_m[:, None]), axis=1
         )
