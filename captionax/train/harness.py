@@ -193,11 +193,17 @@ class CaptionTrainer:
 
     def test_beam(self, batches: Iterable[Dict]) -> Dict:
         """Reference test_step: k-beam decode + metrics of the best
-        hypothesis against the batch refs, plus TF metrics."""
+        hypothesis against the batch refs, plus TF metrics.
+
+        Additionally reports corpus-level beam metrics (``beam_corpus_*``)
+        over all decoded hypotheses — the reference's per-image
+        metric_score_test cannot produce a meaningful CIDEr (corpus df
+        over a single image is identically zero)."""
         cfg = self.config
         agg: Dict[str, float] = {}
         n_scored = 0
         tf_quality = CaptionMetrics(self.vocab)
+        beam_quality = CaptionMetrics(self.vocab)
 
         @jax.jit
         def beam_step(params, features, theta):
@@ -228,9 +234,13 @@ class CaptionTrainer:
                 for k, v in scores.items():
                     agg[f"beam_{k}"] = agg.get(f"beam_{k}", 0.0) + v
                 n_scored += 1
+            beam_quality.add_batch_ids(caps, toks)
             out = self._eval_step(self.params, db)
             tf_quality.add_batch_logits(caps, np.asarray(out["logits_tf"]))
         result = {k: v / max(n_scored, 1) for k, v in agg.items()}
         result.update({f"tf_{k}": v for k, v in tf_quality.compute().items()})
+        result.update(
+            {f"beam_corpus_{k}": v for k, v in beam_quality.compute().items()}
+        )
         result["beam_completed"] = n_scored
         return result

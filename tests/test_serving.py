@@ -1,0 +1,75 @@
+"""Pipelined serving wrapper + profiler trace smoke (CPU)."""
+
+import glob
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from captionax.decode.serving import PipelinedDecoder, make_beam_server
+from captionax.models import decoder as dec
+
+NF, F, E, H, V, B, R = 24, 12, 12, 12, 37, 4, 9
+
+
+class TestPipelinedDecoder:
+    def test_order_and_completeness(self):
+        calls = []
+
+        @jax.jit
+        def fn(x):
+            return x * 2.0
+
+        srv = PipelinedDecoder(fn)
+        batches = [jnp.full((3,), float(i)) for i in range(5)]
+        outs = list(srv.map(batches))
+        assert len(outs) == 5
+        for i, o in enumerate(outs):
+            np.testing.assert_allclose(o, 2.0 * i)
+
+    def test_beam_server_matches_direct(self):
+        params = dec.attention_gru_init(jax.random.PRNGKey(0), NF, F, E, H, V)
+        params["fc"]["b"] = params["fc"]["b"].at[2].add(1.0)
+        feats = [jax.random.normal(jax.random.PRNGKey(i), (B, R, NF))
+                 for i in range(3)]
+        srv = make_beam_server(params, max_steps=10, use_fused=False)
+        outs = list(srv.map(feats))
+        from captionax.decode import beam_search
+
+        for f, o in zip(feats, outs):
+            ref = beam_search(params, f, k=3, max_steps=10)
+            np.testing.assert_array_equal(o.tokens, np.asarray(ref.tokens))
+
+    def test_empty_stream(self):
+        srv = PipelinedDecoder(jax.jit(lambda x: x))
+        assert list(srv.map([])) == []
+
+    def test_packed_roundtrip(self):
+        from captionax.decode.serving import unpack_beam_result
+
+        params = dec.attention_gru_init(jax.random.PRNGKey(0), NF, F, E, H, V)
+        params["fc"]["b"] = params["fc"]["b"].at[2].add(1.0)
+        feats = jax.random.normal(jax.random.PRNGKey(1), (B, R, NF))
+        direct = make_beam_server(params, max_steps=10, use_fused=False)
+        packed = make_beam_server(params, max_steps=10, use_fused=False,
+                                  packed=True)
+        d = next(iter(direct.map([feats])))
+        p = unpack_beam_result(next(iter(packed.map([feats]))))
+        np.testing.assert_array_equal(p.tokens, d.tokens)
+        np.testing.assert_array_equal(p.found, d.found)
+        np.testing.assert_array_equal(p.lengths, d.lengths)
+        np.testing.assert_allclose(p.scores, d.scores, atol=0)
+
+
+class TestProfilerTrace:
+    def test_trace_writes_files(self, tmp_path):
+        from captionax.core.runtime import trace
+
+        with trace(str(tmp_path)):
+            x = jnp.ones((64, 64))
+            (x @ x).block_until_ready()
+        files = glob.glob(os.path.join(str(tmp_path), "**", "*"),
+                          recursive=True)
+        assert any(os.path.isfile(f) for f in files)
