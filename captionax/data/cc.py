@@ -79,6 +79,9 @@ class ConceptualCaptionsData:
         self.by_domain: Dict[str, List[int]] = {}
         for i, (_, _, dom) in enumerate(self.rows):
             self.by_domain.setdefault(dom, []).append(i)
+        from captionax.data.flickr import _make_fast_encoder
+
+        self._fast = _make_fast_encoder(self.vocab)
 
     def __len__(self):
         return len(self.rows)
@@ -88,6 +91,8 @@ class ConceptualCaptionsData:
         return list(self.by_domain)
 
     def _encode(self, caption: str) -> np.ndarray:
+        if self._fast is not None:
+            return self._fast.encode_batch([caption], self.max_len)[0]
         ids = self.vocab.encode(caption)[: self.max_len]
         arr = np.zeros((self.max_len,), np.int32)
         arr[: len(ids)] = ids

@@ -57,3 +57,45 @@ class TestNativeCider:
         m_cc, s_cc = cider_score_native(["un chien très vite", "a b"],
                                         [["un chien très rapide"], ["a b"]])
         np.testing.assert_allclose(s_cc, s_py, atol=1e-12)
+
+
+@pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+class TestNativeTextEncoder:
+    def test_full_corpus_parity(self, ref_vocab):
+        import os
+
+        from captionax.core.textenc_native import NativeCaptionEncoder
+
+        path = "/root/reference/data/factual_train.txt"
+        if not os.path.exists(path):
+            pytest.skip("reference data not mounted")
+        from captionax.core.vocab import extract_factual_caption_lines
+
+        lines = [l.strip() for l in extract_factual_caption_lines(path)[:3000]]
+        enc = NativeCaptionEncoder(ref_vocab)
+        T = 40
+        native = enc.encode_batch(lines, T)
+        for i, line in enumerate(lines):
+            ids = ref_vocab.encode(line)[:T]
+            row = np.zeros(T, np.int32)
+            row[: len(ids)] = ids
+            np.testing.assert_array_equal(native[i], row)
+
+    def test_edge_cases(self, ref_vocab):
+        from captionax.core.textenc_native import NativeCaptionEncoder
+
+        enc = NativeCaptionEncoder(ref_vocab)
+        cases = [
+            "",  # empty
+            "A man's dog isn't here, really!",
+            'She said "hello" (loudly) -- twice...',
+            "children can't wait; they'll run & jump?",
+            "x" * 500,  # longer than max_len
+        ]
+        T = 25
+        out = enc.encode_batch(cases, T)
+        for i, c in enumerate(cases):
+            ids = ref_vocab.encode(c)[:T]
+            row = np.zeros(T, np.int32)
+            row[: len(ids)] = ids
+            np.testing.assert_array_equal(out[i], row, err_msg=repr(c))
