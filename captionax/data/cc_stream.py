@@ -22,10 +22,11 @@ import numpy as np
 
 from captionax.data.cc import extract_domain
 
-# train_cc.py:62 restricts to these hosting sites
+# train_cc.py:62 restricts to exactly these 9 hosting sites (in its
+# domain->id order)
 DEFAULT_SITES = (
-    "alamy", "shutterstock", "gettyimages", "istockphoto", "dailymail",
-    "123rf", "picdn", "despositphotos", "pinimg",
+    "gettyimages", "shutterstock", "dailymail", "pinimg", "123rf",
+    "wordpress", "alamy", "picdn", "istockphoto",
 )
 
 FALLBACK_CAPTION = "portrait of a smiling woman"

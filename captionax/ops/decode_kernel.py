@@ -527,6 +527,12 @@ def fused_beam_search(
     from captionax.decode.search import BeamResult
 
     k = 3
+    if gru_params is not None and next(iter(gru_params.values())).ndim > 2:
+        raise NotImplementedError(
+            "fused_beam_search takes one theta per call (batch-homogeneous "
+            "style/domain, like the reference's collate); use "
+            "captionax.decode.beam_search for per-image batched weights"
+        )
     cdt = jnp.float32 if f32 else jnp.bfloat16
     w = _pack_weights(decoder_params, gru_params, cdt)
     feats, att1, h0 = _prep_features(decoder_params, raw_features)

@@ -59,6 +59,32 @@ def latest_step(directory: str) -> Optional[int]:
         return None
 
 
+def save_train_state(directory: str, step: int, state,
+                     max_to_keep: int = 1) -> None:
+    """Checkpoint the FULL TrainState (params + optimizer moments + step)
+    so resume continues Adam exactly where it left off — the reference's
+    Lightning checkpoints carry optimizer state too."""
+    save_checkpoint(
+        directory, step,
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step},
+        max_to_keep,
+    )
+
+
+def restore_train_state(directory: str, like_state,
+                        step: Optional[int] = None):
+    """Restore a full TrainState saved by save_train_state."""
+    tree = restore_checkpoint(
+        directory, step,
+        like={"params": like_state.params, "opt_state": like_state.opt_state,
+              "step": like_state.step},
+    )
+    return like_state._replace(
+        params=tree["params"], opt_state=tree["opt_state"], step=tree["step"]
+    )
+
+
 SHARED_SUBMODULES = ("feature_fc", "embed", "fc", "attention", "init_h")
 
 

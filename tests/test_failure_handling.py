@@ -58,3 +58,22 @@ class TestResume:
             np.asarray(trainer.params["embed"]),
             np.asarray(modified["embed"]),
         )
+
+
+class TestFullStateCheckpoint:
+    def test_opt_state_roundtrip(self, tmp_path):
+        from captionax.train.checkpoint import (
+            restore_train_state,
+            save_train_state,
+        )
+
+        params = {"w": jnp.ones((4,))}
+        tx = make_optimizer(1e-2)
+        state = create_train_state(params, tx)
+        state = state.apply_gradients({"w": jnp.ones((4,))}, tx)
+        save_train_state(str(tmp_path), 1, state)
+        back = restore_train_state(str(tmp_path), create_train_state(params, tx))
+        for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                        jax.tree_util.tree_leaves(back.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(back.step) == 1
