@@ -299,7 +299,7 @@ def fused_greedy(
     gru_params: Optional[Dict] = None,
     max_len: int = 20,
     end_id: int = 2,
-    block_rows: int = 32,
+    block_rows: int = 64,
     interpret: bool = False,
     f32: bool = False,
 ) -> jnp.ndarray:
@@ -518,7 +518,7 @@ def fused_beam_search(
     gru_params: Optional[Dict] = None,
     max_steps: int = 50,
     end_id: int = 2,
-    block_images: int = 16,
+    block_images: int = 24,
     interpret: bool = False,
     f32: bool = False,
 ):
