@@ -1,0 +1,93 @@
+"""Per-stage timing of the ResNet-152 encoder on the real TPU chip.
+
+Times the stem and each residual stage cumulatively (difference = stage
+cost) with the device->host barrier from captionax.core.runtime
+(block_until_ready is not a completion barrier under the axon relay).
+
+Usage:  python benchmarks/encoder_profile.py [batch] [iters]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import time
+
+from captionax.core.runtime import setup_runtime
+
+setup_runtime()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captionax.models import encoder as enc
+
+
+def truncated_apply(params, images, n_stages: int, compute_dtype=jnp.bfloat16):
+    """resnet_apply cut after `n_stages` residual stages (0 = stem only)."""
+    x = jnp.pad(images, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    p = params["stem"]
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), p["kernel"].astype(compute_dtype),
+        (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = jax.nn.relu(y * p["scale"].astype(compute_dtype)
+                    + p["bias"].astype(compute_dtype))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for s, blocks in enumerate(params["stages"][:n_stages]):
+        for b, block in enumerate(blocks):
+            stride = 2 if (s > 0 and b == 0) else 1
+            identity = x
+            y = jax.nn.relu(enc._conv(x, block["conv1"], 1, compute_dtype))
+            y = jax.nn.relu(enc._conv(y, block["conv2"], stride, compute_dtype))
+            y = enc._conv(y, block["conv3"], 1, compute_dtype)
+            if "downsample" in block:
+                identity = enc._conv(x, block["downsample"], stride, compute_dtype)
+            x = jax.nn.relu(y + identity)
+    return x.astype(jnp.float32)
+
+
+def timeit(fn, *args, iters=5):
+    out = fn(*args)
+    np.asarray(out.ravel()[:8])  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        np.asarray(out.ravel()[:8])  # device->host barrier
+    return (time.perf_counter() - t0) / iters
+
+
+def main(batch=256, iters=5):
+    params = enc.resnet_init(jax.random.PRNGKey(0), 152)
+    images = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3))
+    )
+
+    full = jax.jit(enc.resnet_apply)
+    t_full = timeit(full, params, images, iters=iters)
+    print(f"full resnet152 B={batch}: {t_full*1e3:.1f} ms  "
+          f"({batch/t_full:.0f} img/s)")
+
+    prev = 0.0
+    for n in range(0, 5):
+        fn = jax.jit(lambda p, im, n=n: truncated_apply(p, im, n))
+        t = timeit(fn, params, images, iters=iters)
+        label = "stem" if n == 0 else f"stage{n}"
+        print(f"  cumulative through {label}: {t*1e3:8.1f} ms   "
+              f"(marginal {1e3*(t-prev):7.1f} ms)")
+        prev = t
+
+    # bf16 FLOP roofline: resnet-152 fwd ~= 11.6 GFLOP/img
+    flops = 11.6e9 * batch
+    print(f"  roofline: {flops/1e12:.1f} TFLOP; at 197 TFLOP/s peak -> "
+          f"{flops/197e12*1e3:.1f} ms ideal; MXU util ~ "
+          f"{flops/197e12/t_full*100:.0f}%")
+
+
+if __name__ == "__main__":
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    it = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    main(b, it)

@@ -67,9 +67,11 @@ def main(argv=None):
     image_loader = synthetic_image if data_cfg.synthetic else None
     if image_loader is None:
         img_dir = os.path.dirname(data_cfg.cc_captions)
-        from captionax.data.transforms import load_image
+        from captionax.data.native_image import GRAY_VIRIDIS, make_file_loader
 
-        image_loader = lambda name: load_image(os.path.join(img_dir, name))  # noqa: E731
+        # grayscale->viridis inside the decoder, before resize (the
+        # reference's cc_dataloader.py:92-100 order)
+        image_loader = make_file_loader(img_dir, gray_mode=GRAY_VIRIDIS)
     data = ConceptualCaptionsData(rows, vocab, image_loader=image_loader,
                                   max_len=train_cfg.max_len)
     print(f"vocab={len(vocab)} rows={len(data)} domains={len(data.domains)} "

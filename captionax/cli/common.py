@@ -85,7 +85,7 @@ def resolve_flickr_data(data_cfg: DataConfig, vocab, max_len: int) -> FlickrStyl
             max_len=max_len,
             factual_lines=factual_lines,
         )
-    from captionax.data.transforms import load_image
+    from captionax.data.native_image import make_file_loader
 
     humour = (
         load_styled_captions(data_cfg.humour_captions)
@@ -100,7 +100,7 @@ def resolve_flickr_data(data_cfg: DataConfig, vocab, max_len: int) -> FlickrStyl
         humour=humour,
         romantic=romantic,
         vocab=vocab,
-        image_loader=lambda name: load_image(os.path.join(data_cfg.img_dir, name)),
+        image_loader=make_file_loader(data_cfg.img_dir),
         max_len=max_len,
     )
 

@@ -54,15 +54,13 @@ def http_fetcher(timeout: float = 5.0) -> Callable[[str], np.ndarray]:
     """Real HTTP image fetcher (needs egress; raises on failure)."""
 
     def fetch(url: str) -> np.ndarray:
-        import io
         import urllib.request
 
-        from PIL import Image
+        from captionax.data.native_image import decode
 
         with urllib.request.urlopen(url, timeout=timeout) as r:
             data = r.read()
-        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
-                          dtype=np.uint8)
+        return decode(data)  # native C++ decoder, PIL fallback
 
     return fetch
 

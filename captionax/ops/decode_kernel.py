@@ -74,6 +74,89 @@ def _top3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.stack(vals, 1), jnp.stack(idxs, 1)  # [N, 3]
 
 
+def _chunk_top3(logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-3 (values, indices) of [rows, c] with exact first-occurrence
+    tie ordering, via per-128-lane-group filtering.
+
+    :func:`_top3` costs ~15 full-width VPU passes (3 rounds x
+    max/argmax/mask).  Here the chunk is viewed as G = c/128 lane groups:
+
+    1. one full-width pass computes per-group maxima, merged into a
+       running (top-3 value, group-id) tournament on [rows] vectors
+       (strict ``>`` keeps the earliest group on ties);
+    2. the union of the top-3 groups provably contains the global top-3:
+       if an element of the true top-3 sat in an unselected group, each
+       of the 3 selected groups would rank an element above it (strictly
+       larger max, or an equal max in an earlier group — which also
+       precedes it in first-occurrence order);
+    3. the 3 groups are gathered with one accumulator-select pass each
+       in ascending group-id order — so concatenated lane order equals
+       global index order and :func:`_top3` on the [rows, 384] gather
+       reproduces the exact first-occurrence ranking of the full chunk.
+
+    Full-width passes: ~2 (group max + 3 selects) vs ~15.
+    """
+    rows, c = logits.shape
+    G = c // 128
+    if G <= 3:
+        return _top3(logits)
+    neg = jnp.full((rows,), NEG_INF)
+    zero = jnp.zeros((rows,), jnp.int32)
+    v1, v2, v3 = neg, neg, neg
+    g1, g2, g3 = zero, zero, zero
+    for g in range(G):
+        gm = jnp.max(logits[:, g * 128:(g + 1) * 128], axis=1)
+        gi = jnp.full((rows,), g, jnp.int32)
+        c1, c2, c3 = gm > v1, gm > v2, gm > v3
+        v3, g3 = (
+            jnp.where(c2, v2, jnp.where(c3, gm, v3)),
+            jnp.where(c2, g2, jnp.where(c3, gi, g3)),
+        )
+        v2, g2 = (
+            jnp.where(c1, v1, jnp.where(c2, gm, v2)),
+            jnp.where(c1, g1, jnp.where(c2, gi, g2)),
+        )
+        v1, g1 = jnp.where(c1, gm, v1), jnp.where(c1, gi, g1)
+    lo = jnp.minimum(g1, jnp.minimum(g2, g3))
+    hi = jnp.maximum(g1, jnp.maximum(g2, g3))
+    mid = g1 + g2 + g3 - lo - hi
+    sels = [jnp.full((rows, 128), NEG_INF) for _ in range(3)]
+    for g in range(G):
+        xs = logits[:, g * 128:(g + 1) * 128]
+        sels[0] = jnp.where((lo == g)[:, None], xs, sels[0])
+        sels[1] = jnp.where((mid == g)[:, None], xs, sels[1])
+        sels[2] = jnp.where((hi == g)[:, None], xs, sels[2])
+    cat = jnp.concatenate(sels, axis=1)                  # [rows, 384]
+    v3v, iloc = _top3(cat)
+    j, lane = iloc // 128, iloc % 128
+    gid = jnp.where(
+        j == 0, lo[:, None], jnp.where(j == 1, mid[:, None], hi[:, None])
+    )
+    return v3v, gid * 128 + lane
+
+
+def _chunk_top1(logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Max + first-argmax of [rows, c] via the same group filtering
+    (~2 full-width passes vs ~4 for max + iota-argmax)."""
+    rows, c = logits.shape
+    G = c // 128
+    if G <= 1:
+        return jnp.max(logits, axis=1), _first_argmax(logits, axis=1)
+    v1 = jnp.full((rows,), NEG_INF)
+    g1 = jnp.zeros((rows,), jnp.int32)
+    for g in range(G):
+        gm = jnp.max(logits[:, g * 128:(g + 1) * 128], axis=1)
+        c1 = gm > v1
+        v1 = jnp.where(c1, gm, v1)
+        g1 = jnp.where(c1, jnp.full((rows,), g, jnp.int32), g1)
+    sel = jnp.full((rows, 128), NEG_INF)
+    for g in range(G):
+        sel = jnp.where(
+            (g1 == g)[:, None], logits[:, g * 128:(g + 1) * 128], sel
+        )
+    return v1, g1 * 128 + _first_argmax(sel, axis=1)
+
+
 # ======================================================================
 # shared per-step cell math (operates on VMEM-resident values)
 # ======================================================================
@@ -142,7 +225,7 @@ def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int):
                     preferred_element_type=jnp.float32)
             + fcb_ref[j * c:(j + 1) * c]
         )
-        v3, i3 = _top3(logits)
+        v3, i3 = _chunk_top3(logits)
         vs.append(v3)
         is_.append(i3 + j * c)
         # chunk max = the round-1 top value (no extra reduction)
@@ -181,8 +264,8 @@ def _chunked_logits_top1(h_new, fcw_ref, fcb_ref, vp: int):
                     preferred_element_type=jnp.float32)
             + fcb_ref[j * c:(j + 1) * c]
         )
-        v = jnp.max(logits, axis=1)
-        i = _first_argmax(logits, axis=1) + j * c
+        v, i_loc = _chunk_top1(logits)
+        i = i_loc + j * c
         take = v > best_v
         best_v = jnp.where(take, v, best_v)
         best_i = jnp.where(take, i, best_i)
@@ -360,7 +443,8 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
                  seq_ref, score_ref, len_ref, found_ref,
                  h_scr, tok_scr, hist_scr, score_scr,
                  best_seq_scr, best_val_scr,
-                 *, max_steps: int, hd: int, vp: int, end_id: int, k: int):
+                 *, max_steps: int, hd: int, vp: int, end_id: int, k: int,
+                 ablate: str = ""):
     rows = h0_ref.shape[0]          # images * k
     n_img = rows // k
     T = max_steps + 1
@@ -398,17 +482,42 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
 
     def body(t, _):
         tok = tok_scr[:, 0]
-        word = _embed_lookup(tok, emb_ref, vp)
+        if "noembed" in ablate:  # profiling-only: skip the embed gather
+            word = jnp.zeros((rows, emb_ref.shape[1]), jnp.float32)
+        else:
+            word = _embed_lookup(tok, emb_ref, vp)
         word = jnp.where(t == 0, jnp.zeros_like(word), word)  # zeroed step 1
         h = h_scr[:]
-        h_new = _cell_core(
-            word, h, feats_ref[:], att1_ref[:], ua_w, ua_b, va,
-            wih_t, whh_t, bih, bhh, hd,
-        )
-        v3r, i3, logz = _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp)
+        if "nocell" in ablate:   # profiling-only: skip attention + GRU
+            h_new = h + word[:, :hd]
+        else:
+            h_new = _cell_core(
+                word, h, feats_ref[:], att1_ref[:], ua_w, ua_b, va,
+                wih_t, whh_t, bih, bhh, hd,
+            )
+        if "nomm" in ablate:     # profiling-only: skip logits matmul+top3
+            v3r = h_new[:, :3]
+            i3 = jnp.zeros((rows, 3), jnp.int32) + 3
+            logz = jnp.zeros((rows,))
+        elif "notop3" in ablate:  # profiling-only: matmuls, no top-3 scan
+            c = _vocab_chunk(vp)
+            acc = jnp.zeros((rows, 3))
+            for j in range(vp // c):
+                lg = jnp.dot(h_new, fcw_ref[:, j * c:(j + 1) * c],
+                             preferred_element_type=jnp.float32)
+                acc = acc + lg[:, :3]
+            v3r, i3, logz = acc, jnp.zeros((rows, 3), jnp.int32) + 3, acc[:, 0]
+        else:
+            v3r, i3, logz = _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp)
         scores = score_scr[:, 0]
         # cumulative candidate scores: prev + log_softmax(top-3 raw logits)
         v3 = scores[:, None] + (v3r - logz[:, None])         # [rows, 3]
+
+        if "nobook" in ablate:   # profiling-only: skip beam bookkeeping
+            h_scr[:] = h_new
+            tok_scr[:, 0] = i3[:, 0]
+            score_scr[:, 0] = v3[:, 0]
+            return 0
 
         # every row sees its image's full 9-candidate slate [rows, 9]
         v3f = v3
@@ -510,7 +619,9 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_steps", "end_id", "block_images", "interpret", "f32"),
+    static_argnames=(
+        "max_steps", "end_id", "block_images", "interpret", "f32", "ablate"
+    ),
 )
 def fused_beam_search(
     decoder_params: Dict,
@@ -521,9 +632,15 @@ def fused_beam_search(
     block_images: int = 24,
     interpret: bool = False,
     f32: bool = False,
+    ablate: str = "",
 ):
     """k=3 beam search, one fused kernel.  Returns a BeamResult-compatible
-    tuple (tokens [B, max_steps+1], scores [B], found [B], lengths [B])."""
+    tuple (tokens [B, max_steps+1], scores [B], found [B], lengths [B]).
+
+    ``ablate`` is PROFILING-ONLY (benchmarks/kernel_ablate.py): a comma
+    list of {noembed, nocell, nomm, notop3, nobook} that skips kernel
+    stages to attribute per-step cost; results are semantically wrong.
+    """
     from captionax.decode.search import BeamResult
 
     k = 3
@@ -556,7 +673,7 @@ def fused_beam_search(
     grid = n_img // block_images
     kernel = functools.partial(
         _beam_kernel, max_steps=max_steps, hd=H, vp=w["vp"],
-        end_id=end_id, k=k,
+        end_id=end_id, k=k, ablate=ablate,
     )
     rtile = lambda *shape: pl.BlockSpec(
         (rows_blk,) + shape, lambda i: (i,) + (0,) * len(shape),

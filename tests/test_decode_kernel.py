@@ -60,6 +60,94 @@ class TestFusedParity:
         )
 
 
+class TestChunkTop3Unit:
+    """_chunk_top3/_chunk_top1 directly (outside pallas) on crafted
+    matrices: grouped filtering must reproduce jax.lax.top_k exactly,
+    including first-occurrence ordering of ties within and across
+    128-lane groups."""
+
+    def _check(self, x):
+        from captionax.ops.decode_kernel import _chunk_top1, _chunk_top3
+
+        ref_v, ref_i = jax.lax.top_k(x, 3)
+        v3, i3 = _chunk_top3(x)
+        np.testing.assert_array_equal(np.asarray(i3), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(v3), np.asarray(ref_v))
+        v1, i1 = _chunk_top1(x)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ref_i[:, 0]))
+
+    def test_random(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 1024))
+        self._check(x)
+
+    def test_ties_across_groups(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 1024))
+        # same top value planted in three different lane groups, plus a
+        # within-group duplicate: top-3 = first occurrences in index order
+        x = x.at[:, 700].set(50.0).at[:, 90].set(50.0).at[:, 95].set(50.0)
+        self._check(x)
+        # tie that spans the group-max tournament (4 groups share the max)
+        y = jnp.zeros((4, 1024)).at[:, [130, 5, 600, 900]].set(7.0)
+        self._check(y)
+
+    def test_all_equal(self):
+        self._check(jnp.zeros((4, 768)))
+
+
+class TestGroupedTop3:
+    """Vocab large enough that _chunk_top3/_chunk_top1 group filtering
+    engages (vp/128 > 3 groups; the V=301 cases above take the plain
+    _top3 fallback), including exact first-occurrence ordering under
+    forced logit ties across lane groups."""
+
+    DIMS = dict(nf=32, f=16, e=16, h=16, v=650)  # vp=768 -> 6 groups
+
+    def _make(self, seed, batch=4, regions=5, tie=False):
+        d = self.DIMS
+        params = dec.attention_gru_init(
+            jax.random.PRNGKey(seed), d["nf"], d["f"], d["e"], d["h"], d["v"]
+        )
+        params["fc"]["b"] = params["fc"]["b"].at[2].add(0.4)
+        if tie:
+            # duplicate an fc column into a different 128-lane group and
+            # boost both so the tied pair reaches the top-3: the kernel
+            # must rank index 10 before 500 (first occurrence)
+            fc = params["fc"]
+            params["fc"] = {
+                "w": fc["w"].at[:, 500].set(fc["w"][:, 10]),
+                "b": fc["b"].at[500].set(fc["b"][10] + 3.0).at[10].add(3.0),
+            }
+        raw = jax.random.normal(
+            jax.random.PRNGKey(seed + 100), (batch, regions, d["nf"])
+        )
+        return params, raw
+
+    @pytest.mark.parametrize("tie", [False, True])
+    def test_beam(self, tie):
+        params, raw = self._make(21, tie=tie)
+        ref = beam_search(params, raw, k=3, max_steps=15)
+        got = fused_beam_search(params, raw, max_steps=15, block_images=4,
+                                interpret=True, f32=True)
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.lengths), np.asarray(ref.lengths)
+        )
+
+    @pytest.mark.parametrize("tie", [False, True])
+    def test_greedy(self, tie):
+        params, raw = self._make(23, tie=tie)
+        ref = np.asarray(greedy(params, raw, max_len=15))
+        got = np.asarray(
+            fused_greedy(params, raw, max_len=15, block_rows=8,
+                         interpret=True, f32=True)
+        )
+        np.testing.assert_array_equal(got, ref)
+        if tie:
+            assert (ref == 10).any()
+
+
 class TestHypernetTheta:
     def test_beam_with_synthesized_weights(self):
         from captionax.models.hypernet import hypernet_apply, hypernet_init
