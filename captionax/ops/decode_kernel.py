@@ -74,89 +74,6 @@ def _top3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.stack(vals, 1), jnp.stack(idxs, 1)  # [N, 3]
 
 
-def _chunk_top3(logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Top-3 (values, indices) of [rows, c] with exact first-occurrence
-    tie ordering, via per-128-lane-group filtering.
-
-    :func:`_top3` costs ~15 full-width VPU passes (3 rounds x
-    max/argmax/mask).  Here the chunk is viewed as G = c/128 lane groups:
-
-    1. one full-width pass computes per-group maxima, merged into a
-       running (top-3 value, group-id) tournament on [rows] vectors
-       (strict ``>`` keeps the earliest group on ties);
-    2. the union of the top-3 groups provably contains the global top-3:
-       if an element of the true top-3 sat in an unselected group, each
-       of the 3 selected groups would rank an element above it (strictly
-       larger max, or an equal max in an earlier group — which also
-       precedes it in first-occurrence order);
-    3. the 3 groups are gathered with one accumulator-select pass each
-       in ascending group-id order — so concatenated lane order equals
-       global index order and :func:`_top3` on the [rows, 384] gather
-       reproduces the exact first-occurrence ranking of the full chunk.
-
-    Full-width passes: ~2 (group max + 3 selects) vs ~15.
-    """
-    rows, c = logits.shape
-    G = c // 128
-    if G <= 3:
-        return _top3(logits)
-    neg = jnp.full((rows,), NEG_INF)
-    zero = jnp.zeros((rows,), jnp.int32)
-    v1, v2, v3 = neg, neg, neg
-    g1, g2, g3 = zero, zero, zero
-    for g in range(G):
-        gm = jnp.max(logits[:, g * 128:(g + 1) * 128], axis=1)
-        gi = jnp.full((rows,), g, jnp.int32)
-        c1, c2, c3 = gm > v1, gm > v2, gm > v3
-        v3, g3 = (
-            jnp.where(c2, v2, jnp.where(c3, gm, v3)),
-            jnp.where(c2, g2, jnp.where(c3, gi, g3)),
-        )
-        v2, g2 = (
-            jnp.where(c1, v1, jnp.where(c2, gm, v2)),
-            jnp.where(c1, g1, jnp.where(c2, gi, g2)),
-        )
-        v1, g1 = jnp.where(c1, gm, v1), jnp.where(c1, gi, g1)
-    lo = jnp.minimum(g1, jnp.minimum(g2, g3))
-    hi = jnp.maximum(g1, jnp.maximum(g2, g3))
-    mid = g1 + g2 + g3 - lo - hi
-    sels = [jnp.full((rows, 128), NEG_INF) for _ in range(3)]
-    for g in range(G):
-        xs = logits[:, g * 128:(g + 1) * 128]
-        sels[0] = jnp.where((lo == g)[:, None], xs, sels[0])
-        sels[1] = jnp.where((mid == g)[:, None], xs, sels[1])
-        sels[2] = jnp.where((hi == g)[:, None], xs, sels[2])
-    cat = jnp.concatenate(sels, axis=1)                  # [rows, 384]
-    v3v, iloc = _top3(cat)
-    j, lane = iloc // 128, iloc % 128
-    gid = jnp.where(
-        j == 0, lo[:, None], jnp.where(j == 1, mid[:, None], hi[:, None])
-    )
-    return v3v, gid * 128 + lane
-
-
-def _chunk_top1(logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Max + first-argmax of [rows, c] via the same group filtering
-    (~2 full-width passes vs ~4 for max + iota-argmax)."""
-    rows, c = logits.shape
-    G = c // 128
-    if G <= 1:
-        return jnp.max(logits, axis=1), _first_argmax(logits, axis=1)
-    v1 = jnp.full((rows,), NEG_INF)
-    g1 = jnp.zeros((rows,), jnp.int32)
-    for g in range(G):
-        gm = jnp.max(logits[:, g * 128:(g + 1) * 128], axis=1)
-        c1 = gm > v1
-        v1 = jnp.where(c1, gm, v1)
-        g1 = jnp.where(c1, jnp.full((rows,), g, jnp.int32), g1)
-    sel = jnp.full((rows, 128), NEG_INF)
-    for g in range(G):
-        sel = jnp.where(
-            (g1 == g)[:, None], logits[:, g * 128:(g + 1) * 128], sel
-        )
-    return v1, g1 * 128 + _first_argmax(sel, axis=1)
-
-
 # ======================================================================
 # shared per-step cell math (operates on VMEM-resident values)
 # ======================================================================
@@ -225,7 +142,7 @@ def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int):
                     preferred_element_type=jnp.float32)
             + fcb_ref[j * c:(j + 1) * c]
         )
-        v3, i3 = _chunk_top3(logits)
+        v3, i3 = _top3(logits)
         vs.append(v3)
         is_.append(i3 + j * c)
         # chunk max = the round-1 top value (no extra reduction)
@@ -264,8 +181,8 @@ def _chunked_logits_top1(h_new, fcw_ref, fcb_ref, vp: int):
                     preferred_element_type=jnp.float32)
             + fcb_ref[j * c:(j + 1) * c]
         )
-        v, i_loc = _chunk_top1(logits)
-        i = i_loc + j * c
+        v = jnp.max(logits, axis=1)
+        i = _first_argmax(logits, axis=1) + j * c
         take = v > best_v
         best_v = jnp.where(take, v, best_v)
         best_i = jnp.where(take, i, best_i)

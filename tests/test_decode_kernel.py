@@ -60,33 +60,30 @@ class TestFusedParity:
         )
 
 
-class TestChunkTop3Unit:
-    """_chunk_top3/_chunk_top1 directly (outside pallas) on crafted
-    matrices: grouped filtering must reproduce jax.lax.top_k exactly,
-    including first-occurrence ordering of ties within and across
-    128-lane groups."""
+class TestTop3Unit:
+    """_top3/_first_argmax directly (outside pallas) on crafted matrices:
+    must reproduce jax.lax.top_k exactly, including first-occurrence
+    ordering of duplicated values."""
 
     def _check(self, x):
-        from captionax.ops.decode_kernel import _chunk_top1, _chunk_top3
+        from captionax.ops.decode_kernel import _first_argmax, _top3
 
         ref_v, ref_i = jax.lax.top_k(x, 3)
-        v3, i3 = _chunk_top3(x)
+        v3, i3 = _top3(x)
         np.testing.assert_array_equal(np.asarray(i3), np.asarray(ref_i))
         np.testing.assert_allclose(np.asarray(v3), np.asarray(ref_v))
-        v1, i1 = _chunk_top1(x)
+        i1 = _first_argmax(x, axis=1)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(ref_i[:, 0]))
 
     def test_random(self):
-        x = jax.random.normal(jax.random.PRNGKey(0), (8, 1024))
-        self._check(x)
+        self._check(jax.random.normal(jax.random.PRNGKey(0), (8, 1024)))
 
-    def test_ties_across_groups(self):
+    def test_ties(self):
         x = jax.random.normal(jax.random.PRNGKey(1), (8, 1024))
-        # same top value planted in three different lane groups, plus a
-        # within-group duplicate: top-3 = first occurrences in index order
+        # same top value planted three times: first occurrences win, in
+        # index order
         x = x.at[:, 700].set(50.0).at[:, 90].set(50.0).at[:, 95].set(50.0)
         self._check(x)
-        # tie that spans the group-max tournament (4 groups share the max)
         y = jnp.zeros((4, 1024)).at[:, [130, 5, 600, 900]].set(7.0)
         self._check(y)
 
@@ -94,11 +91,11 @@ class TestChunkTop3Unit:
         self._check(jnp.zeros((4, 768)))
 
 
-class TestGroupedTop3:
-    """Vocab large enough that _chunk_top3/_chunk_top1 group filtering
-    engages (vp/128 > 3 groups; the V=301 cases above take the plain
-    _top3 fallback), including exact first-occurrence ordering under
-    forced logit ties across lane groups."""
+class TestLargeVocabTies:
+    """Kernel parity at a vocab spanning several 128-lane chunks-worth of
+    logits (vp=768; the V=301 cases above cover the small case), with
+    exact first-occurrence ordering under forced logit ties: duplicated
+    fc columns produce identical logits in different lane regions."""
 
     DIMS = dict(nf=32, f=16, e=16, h=16, v=650)  # vp=768 -> 6 groups
 
