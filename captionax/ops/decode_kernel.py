@@ -77,6 +77,12 @@ def _top3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # ======================================================================
 # shared per-step cell math (operates on VMEM-resident values)
 # ======================================================================
+def _chunk_target(rows: int) -> int:
+    """Chunk width budget: keep the [rows, chunk] stack temporaries
+    roughly constant across tile sizes (16 MB scoped-VMEM ceiling)."""
+    return 2560 if rows <= 72 else max(1280, 2560 * 72 // rows // 128 * 128)
+
+
 def _vocab_chunk(vp: int, target: int = 2560) -> int:
     """Largest 128-multiple chunk <= target that divides vp — caps every
     [rows, chunk] temporary so the kernel fits VMEM at full vocab."""
@@ -122,7 +128,8 @@ def _cell_core(word, h, feats, att1, ua_w, ua_b, va, wih_t, whh_t, bih, bhh,
     return (1.0 - z) * n + z * h
 
 
-def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int):
+def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int,
+                         with_logz: bool = True):
     """Vocab-chunked logits -> per-row top-3 raw logits + logsumexp.
 
     top-3 by raw logits equals top-3 by log-softmax (per-row monotone
@@ -131,7 +138,7 @@ def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int):
     at the end.  Returns (v3 raw [rows,3], i3 global idx [rows,3],
     logz [rows] = logsumexp of the row)."""
     rows = h_new.shape[0]
-    c = _vocab_chunk(vp)
+    c = _vocab_chunk(vp, _chunk_target(rows))
     n_chunks = vp // c
     vs, is_ = [], []
     m = jnp.full((rows,), NEG_INF)
@@ -145,12 +152,13 @@ def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int):
         v3, i3 = _top3(logits)
         vs.append(v3)
         is_.append(i3 + j * c)
-        # chunk max = the round-1 top value (no extra reduction)
-        new_m = jnp.maximum(m, v3[:, 0])
-        ssum = ssum * jnp.exp(m - new_m) + jnp.sum(
-            jnp.exp(logits - new_m[:, None]), axis=1
-        )
-        m = new_m
+        if with_logz:
+            # chunk max = the round-1 top value (no extra reduction)
+            new_m = jnp.maximum(m, v3[:, 0])
+            ssum = ssum * jnp.exp(m - new_m) + jnp.sum(
+                jnp.exp(logits - new_m[:, None]), axis=1
+            )
+            m = new_m
     vall = jnp.concatenate(vs, axis=1)    # [rows, 3*n_chunks]
     iall = jnp.concatenate(is_, axis=1)
     v3, sel = _top3(vall)
@@ -164,7 +172,7 @@ def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int):
         ],
         axis=1,
     )
-    logz = m + jnp.log(ssum)
+    logz = m + jnp.log(ssum) if with_logz else jnp.zeros((rows,))
     return v3, i3, logz
 
 
@@ -172,7 +180,7 @@ def _chunked_logits_top1(h_new, fcw_ref, fcb_ref, vp: int):
     """Vocab-chunked argmax of the logits (greedy fast path: one
     max/argmax per chunk, no masking rounds, no logsumexp)."""
     rows = h_new.shape[0]
-    c = _vocab_chunk(vp)
+    c = _vocab_chunk(vp, _chunk_target(rows))
     best_v = jnp.full((rows,), NEG_INF)
     best_i = jnp.zeros((rows,), jnp.int32)
     for j in range(vp // c):
@@ -192,7 +200,7 @@ def _chunked_logits_top1(h_new, fcw_ref, fcb_ref, vp: int):
 def _embed_lookup(tok, emb_ref, vp: int):
     """Chunked one-hot matmul embedding gather: tok [Rows] -> [Rows, E]."""
     rows = tok.shape[0]
-    c = _vocab_chunk(vp)
+    c = _vocab_chunk(vp, _chunk_target(rows))
     out = jnp.zeros((rows, emb_ref.shape[1]), jnp.float32)
     for j in range(vp // c):
         chunk = emb_ref[j * c:(j + 1) * c, :]
@@ -243,7 +251,20 @@ def _greedy_kernel(feats_ref, att1_ref, h0_ref,
         done_scr[:, 0] = jnp.maximum(done, done_new)
         return 0
 
-    jax.lax.fori_loop(0, max_len, body, 0)
+    # early exit once every row has emitted </s>: remaining steps only
+    # freeze state and write <pad>, which out_ref already holds (real
+    # captions finish in ~10-20 steps; random-weight benchmarks don't).
+    # The liveness flag travels in the carry — scratch reads inside the
+    # while COND would not observe body-side mutations.
+    def loop_body(carry):
+        t, _ = carry
+        body(t, 0)
+        return t + 1, jnp.min(done_scr[:, 0]) == 0
+
+    jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[0] < max_len, c[1]),
+        loop_body, (0, jnp.bool_(True)),
+    )
 
 
 def _pack_weights(decoder_params: Dict, gru_params: Optional[Dict],
@@ -424,6 +445,9 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
                              preferred_element_type=jnp.float32)
                 acc = acc + lg[:, :3]
             v3r, i3, logz = acc, jnp.zeros((rows, 3), jnp.int32) + 3, acc[:, 0]
+        elif "nologz" in ablate:  # profiling-only: top-3 w/o logsumexp
+            v3r, i3, logz = _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp,
+                                                 with_logz=False)
         else:
             v3r, i3, logz = _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp)
         scores = score_scr[:, 0]
@@ -513,7 +537,26 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
         tok_scr[:, 0] = new_tok
         return 0
 
-    jax.lax.fori_loop(0, max_steps, body, 0)
+    # Early exit once no live beam can still improve its image's best
+    # completion: cumulative scores only decrease (logp <= 0), so a
+    # future completion's value is bounded by its parent's current
+    # score; when every row's score <= the image's best completed score
+    # (strict improvement required, best starts at NEG_INF), best/found/
+    # len can never change again — identical outputs, fewer steps.
+    # Real captions resolve in ~10-25 steps; random-weight benchmarks
+    # never complete and still run all max_steps.  The liveness flag
+    # travels in the carry — scratch reads inside the while COND would
+    # not observe body-side mutations.
+    def loop_body(carry):
+        t, _ = carry
+        body(t, 0)
+        improvable = jnp.max(score_scr[:, 0] - best_val_scr[:, 0]) > 0.0
+        return t + 1, improvable
+
+    t_final, _ = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[0] < max_steps, c[1]),
+        loop_body, (0, jnp.bool_(True)),
+    )
 
     # per-image outputs = beam-0 rows of the replicated best buffers
     img_ids = jax.lax.broadcasted_iota(jnp.int32, (n_img, rows), 0)
@@ -530,7 +573,10 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
     lens = jnp.where(found, bval[:, 1], 0.0).astype(jnp.int32)
     seq_ref[:] = jnp.where(col < lens[:, None], bseq, 0)
     score_ref[:, 0] = bval[:, 0]
-    len_ref[:, 0] = lens
+    if "debugt" in ablate:   # profiling-only: report the exit step
+        len_ref[:, 0] = jnp.zeros((n_img,), jnp.int32) + t_final
+    else:
+        len_ref[:, 0] = lens
     found_ref[:, 0] = found.astype(jnp.int32)
 
 
@@ -555,7 +601,7 @@ def fused_beam_search(
     tuple (tokens [B, max_steps+1], scores [B], found [B], lengths [B]).
 
     ``ablate`` is PROFILING-ONLY (benchmarks/kernel_ablate.py): a comma
-    list of {noembed, nocell, nomm, notop3, nobook} that skips kernel
+    list of {noembed, nocell, nomm, notop3, nologz, nobook} that skips kernel
     stages to attribute per-step cost; results are semantically wrong.
     """
     from captionax.decode.search import BeamResult
