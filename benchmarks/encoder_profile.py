@@ -25,18 +25,7 @@ from captionax.models import encoder as enc
 
 def truncated_apply(params, images, n_stages: int, compute_dtype=jnp.bfloat16):
     """resnet_apply cut after `n_stages` residual stages (0 = stem only)."""
-    x = jnp.pad(images, ((0, 0), (3, 3), (3, 3), (0, 0)))
-    p = params["stem"]
-    y = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype), p["kernel"].astype(compute_dtype),
-        (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    x = jax.nn.relu(y * p["scale"].astype(compute_dtype)
-                    + p["bias"].astype(compute_dtype))
-    x = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
+    x = enc.resnet_stem(params["stem"], images, compute_dtype)
     for s, blocks in enumerate(params["stages"][:n_stages]):
         for b, block in enumerate(blocks):
             stride = 2 if (s > 0 and b == 0) else 1

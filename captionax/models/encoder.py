@@ -91,16 +91,16 @@ def _conv(x, p, stride=1, dtype=jnp.bfloat16):
     return y * p["scale"].astype(dtype) + p["bias"].astype(dtype)
 
 
-def resnet_apply(
-    params: Dict,
-    images: jnp.ndarray,
-    compute_dtype=jnp.bfloat16,
-) -> jnp.ndarray:
-    """images [B, H, W, 3] (already normalized) -> [B, H/32, W/32, 2048]."""
-    x = images
-    # stem: 7x7/2 conv, relu, 3x3/2 maxpool (torch pads 1 on each side)
-    x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-    p = dict(params["stem"])
+def resnet_stem(p: Dict, images: jnp.ndarray,
+                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """7x7/2 conv + relu + 3x3/2 maxpool (torch pads 3 / 1 per side).
+
+    Perf note (benchmarks/encoder_profile.py): an MLPerf-style
+    space-to-depth rewrite of the 3-channel conv measured NO gain here —
+    XLA's TPU conv lowering already handles the thin input channel; the
+    stem's residual cost is maxpool/layout-bound.
+    """
+    x = jnp.pad(images, ((0, 0), (3, 3), (3, 3), (0, 0)))
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         p["kernel"].astype(compute_dtype),
@@ -108,11 +108,22 @@ def resnet_apply(
         "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    x = jax.nn.relu(y * p["scale"].astype(compute_dtype) + p["bias"].astype(compute_dtype))
-    x = jax.lax.reduce_window(
+    x = jax.nn.relu(
+        y * p["scale"].astype(compute_dtype) + p["bias"].astype(compute_dtype)
+    )
+    return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
+
+
+def resnet_apply(
+    params: Dict,
+    images: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """images [B, H, W, 3] (already normalized) -> [B, H/32, W/32, 2048]."""
+    x = resnet_stem(params["stem"], images, compute_dtype)
     for s, blocks in enumerate(params["stages"]):
         for b, block in enumerate(blocks):
             stride = 2 if (s > 0 and b == 0) else 1
