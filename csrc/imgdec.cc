@@ -263,21 +263,65 @@ int decode_png(const uint8_t* data, int64_t len, int gray_mode, int* h,
   }
   bool gray = (img.format & PNG_FORMAT_FLAG_COLOR) == 0;
   bool alpha = (img.format & PNG_FORMAT_FLAG_ALPHA) != 0;
+  // 16-bit files: the simplified API's 8-bit formats apply a
+  // linear->sRGB transfer; read the LINEAR (16-bit) format instead and
+  // scale arithmetically like skimage's img_as_ubyte
+  bool lin16 = (img.format & PNG_FORMAT_FLAG_LINEAR) != 0;
   *h = img.height;
   *w = img.width;
   size_t n = static_cast<size_t>(img.height) * img.width;
+  auto scale16 = [](uint16_t v) -> uint8_t {
+    return static_cast<uint8_t>((static_cast<uint32_t>(v) * 255 + 32767) /
+                                65535);
+  };
+  if (lin16 && alpha) {
+    png_image_free(&img);
+    return -3;  // 16-bit + alpha: rare; PIL fallback
+  }
   if (gray && !alpha) {
-    img.format = PNG_FORMAT_GRAY;
     std::vector<uint8_t> raw(n);
+    if (lin16) {
+      img.format = PNG_FORMAT_LINEAR_Y;
+      std::vector<uint16_t> raw16(n);
+      if (!png_image_finish_read(&img, nullptr, raw16.data(), 0, nullptr)) {
+        png_image_free(&img);
+        return -2;
+      }
+      for (size_t i = 0; i < n; i++) raw[i] = scale16(raw16[i]);
+    } else {
+      img.format = PNG_FORMAT_GRAY;
+      if (!png_image_finish_read(&img, nullptr, raw.data(), 0, nullptr)) {
+        png_image_free(&img);
+        return -2;
+      }
+    }
+    out->resize(n * 3);
+    gray_to_rgb(raw.data(), n, gray_mode, out->data());
+  } else if (lin16) {
+    img.format = PNG_FORMAT_LINEAR_RGB;
+    std::vector<uint16_t> raw16(n * 3);
+    if (!png_image_finish_read(&img, nullptr, raw16.data(), 0, nullptr)) {
+      png_image_free(&img);
+      return -2;
+    }
+    out->resize(n * 3);
+    for (size_t i = 0; i < n * 3; i++) (*out)[i] = scale16(raw16[i]);
+  } else if (alpha) {
+    // libpng's RGB conversion COMPOSITES alpha onto a background;
+    // PIL's convert("RGB") just drops it — read RGBA and strip A
+    img.format = PNG_FORMAT_RGBA;
+    std::vector<uint8_t> raw(n * 4);
     if (!png_image_finish_read(&img, nullptr, raw.data(), 0, nullptr)) {
       png_image_free(&img);
       return -2;
     }
     out->resize(n * 3);
-    gray_to_rgb(raw.data(), n, gray_mode, out->data());
+    for (size_t i = 0; i < n; i++) {
+      (*out)[i * 3] = raw[i * 4];
+      (*out)[i * 3 + 1] = raw[i * 4 + 1];
+      (*out)[i * 3 + 2] = raw[i * 4 + 2];
+    }
   } else {
-    // color (or gray+alpha, which PIL's convert("RGB") also flattens by
-    // dropping alpha); libpng strips alpha on the RGB conversion
     img.format = PNG_FORMAT_RGB;
     out->resize(n * 3);
     if (!png_image_finish_read(&img, nullptr, out->data(), 0, nullptr)) {

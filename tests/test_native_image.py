@@ -67,6 +67,52 @@ class TestDecode:
         np.testing.assert_array_equal(got, grayscale_to_viridis(g))
 
 
+class TestExoticFormats:
+    """Formats beyond plain RGB: the native path must either match PIL
+    or return an error status that routes the image to the PIL
+    fallback — never a silently wrong image."""
+
+    def _roundtrip(self, im: Image.Image, fmt="PNG", **save_kw):
+        buf = io.BytesIO()
+        im.save(buf, format=fmt, **save_kw)
+        data = buf.getvalue()
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        got = ni.decode(data)
+        return got, ref
+
+    def test_palette_png(self):
+        arr = _rand_rgb(25, 31, 11)
+        got, ref = self._roundtrip(
+            Image.fromarray(arr).quantize(64)  # mode P
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_rgba_png_drops_alpha_like_pil(self):
+        rgba = np.random.RandomState(12).randint(0, 256, (20, 20, 4), np.uint8)
+        got, ref = self._roundtrip(Image.fromarray(rgba, "RGBA"))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_16bit_gray_png(self):
+        g16 = (np.random.RandomState(13).rand(18, 22) * 65535).astype("<u2")
+        buf = io.BytesIO()
+        Image.fromarray(g16, mode="I;16").save(buf, format="PNG")
+        data = buf.getvalue()
+        got = ni.decode(data)
+        assert got.shape == (18, 22, 3)
+        # native scales 16->8 bit like skimage (high byte +- rounding);
+        # PIL's convert("L") instead SATURATES >255 to white — a PIL
+        # quirk we deliberately do not copy
+        ref = (g16 >> 8).astype(int)
+        assert np.abs(got[..., 0].astype(int) - ref).max() <= 1
+
+    def test_progressive_jpeg(self):
+        arr = _rand_rgb(40, 40, 14)
+        got, ref = self._roundtrip(
+            Image.fromarray(arr), fmt="JPEG", progressive=True, quality=88
+        )
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 2
+
+
 class TestResize:
     @pytest.mark.parametrize("hw_in,hw_out", [
         ((300, 400), (224, 224)),   # downscale (the training path)
