@@ -87,7 +87,10 @@ def main(argv=None):
     sample = next(iter(BatchLoader(
         data.batches(val_idx, min(4, train_cfg.batch_size), style="factual",
                      seed=0, shuffle=False, drop_remainder=False)
-    )))
+    )), None)
+    if sample is None:  # empty validation split at tiny dataset sizes
+        print("no validation batches; skipping greedy smoke")
+        return state
     feats = encode(sample["images"])
     ids = catr_greedy(state.params, feats, max_len=train_cfg.max_len)
     quality = CaptionMetrics(vocab)

@@ -119,11 +119,15 @@ def main(argv=None):
         logger.log({"val_loss": val_loss, "epoch": epoch}, step)
         print(f"epoch {epoch} train {float(loss):.4f} val {val_loss:.4f}")
 
-    # mask-predict decode a few images as a smoke check
+    # mask-predict decode a few images as a smoke check (skipped when the
+    # validation split is empty at tiny dataset sizes)
     sample = next(iter(BatchLoader(add_type_ids(
         data.batches(val_idx, min(4, train_cfg.batch_size), style="factual",
                      seed=0, shuffle=False, drop_remainder=False)
-    ))))
+    ))), None)
+    if sample is None:
+        print("no validation batches; skipping mask-predict smoke")
+        return state
     feats = encode(sample["images"])
     ids = mask_predict_decode(state.params, feats, mask_id, length=12)
     quality = CaptionMetrics(vocab)

@@ -1,0 +1,147 @@
+"""CLI entry-point smokes: run each main() end-to-end at tiny dims on
+synthetic data (CPU).  These drive the same argparse surface a user
+gets, per reference script (SURVEY.md L5 layer).
+
+All smokes share the same encoder/model dims so the ResNet and
+train-step compiles are reused across tests within the process.  The
+heavier long-tail CLIs run only with CAPTIONAX_SLOW_TESTS=1.
+"""
+
+import os
+
+import pytest
+
+SLOW = os.environ.get("CAPTIONAX_SLOW_TESTS", "") == "1"
+
+TINY = [
+    "--synthetic", "--synthetic-images", "8", "--batch-size", "4",
+    "--max-epochs", "1", "--encoder-depth", "50",
+    "--embed-size", "16", "--hidden-size", "16", "--feature-size", "16",
+    "--hyper-emb", "8", "--hn-m", "64",
+    "--max-len", "8", "--beam-max-steps", "6",
+]
+
+
+def args(tmp_path, *extra):
+    return TINY + ["--checkpoint-dir", str(tmp_path / "ckpt"), *extra]
+
+
+def _cc_file(tmp_path, n_domains=2, per_domain=8):
+    """Tiny CC caption file in the 5-space reference format."""
+    sep = " " * 5
+    lines = []
+    for d in range(n_domains):
+        dom = ["alamy", "dailymail", "wordpress"][d % 3]
+        for i in range(per_domain):
+            lines.append(f"{d}_{i}.jpg{sep}a small {dom} test caption "
+                         f"number {i}{sep}{dom}")
+    p = tmp_path / "cc_train.txt"
+    p.write_text("\n".join(lines) + "\n")
+    return p
+
+
+def _gcc_tsv(tmp_path, n=12):
+    """Tiny GCC tsv (caption<TAB>url) over the reference's 9 sites."""
+    rows = [
+        f"a stock photo number {i}\thttp://www.alamy.com/img{i}.jpg"
+        if i % 2 == 0 else
+        f"a daily picture number {i}\thttp://i.dailymail.co.uk/img{i}.jpg"
+        for i in range(n)
+    ]
+    p = tmp_path / "gcc.tsv"
+    p.write_text("\n".join(rows) + "\n")
+    return p
+
+
+class TestCoreClis:
+    def test_train_gru_then_evaluate(self, tmp_path):
+        from captionax.cli.train_gru import main
+
+        hist = main(args(tmp_path))
+        assert hist is not None
+        ckpts = list((tmp_path / "ckpt").rglob("*"))
+        assert ckpts, "checkpoint must be written"
+
+        from captionax.cli.evaluate import main as eval_main
+
+        results = eval_main(args(tmp_path, "--kind", "gru",
+                                 "--styles", "factual"))
+        assert "factual" in results
+
+    def test_visualize_random_init(self, tmp_path):
+        from captionax.cli.visualize import main as viz_main
+
+        out = tmp_path / "viz.html"
+        viz_main(args(tmp_path, "--out", str(out), "--num-images", "2"))
+        html = out.read_text()
+        assert "<html" in html.lower() and "img" in html.lower()
+
+    def test_train_hypernet(self, tmp_path):
+        from captionax.cli.train_hypernet import main
+
+        assert main(args(tmp_path))
+
+    def test_cc_train_hypernet(self, tmp_path):
+        from captionax.cli.cc_train_hypernet import main
+
+        cc = _cc_file(tmp_path)
+        assert main(args(tmp_path, "--domain-scheme", "one hot",
+                         "--cc-captions", str(cc))) is not None
+
+    def test_train_lstm_attention(self, tmp_path):
+        from captionax.cli.train_lstm import main
+
+        assert main(args(tmp_path, "--variant", "attention")) is not None
+
+    def test_build_vocab(self, tmp_path):
+        from captionax.cli.build_vocab import main
+
+        out = tmp_path / "vocab.pkl"
+        vocab = main(["--out", str(out),
+                      "--factual", "/root/reference/data/factual_train.txt"])
+        assert out.exists() and len(vocab) > 1000
+
+
+@pytest.mark.skipif(not SLOW, reason="set CAPTIONAX_SLOW_TESTS=1")
+class TestLongTailClis:
+    def test_train_labert(self, tmp_path):
+        from captionax.cli.train_labert import main
+
+        main(args(tmp_path, "--synthetic-images", "16"))
+
+    def test_train_catr(self, tmp_path):
+        from captionax.cli.train_catr import main
+
+        main(args(tmp_path))
+
+    def test_train_hyper_combine(self, tmp_path):
+        from captionax.cli.train_hyper_combine import main
+
+        main(args(tmp_path, "--cc-captions", str(_cc_file(tmp_path))))
+
+    def test_train_cc(self, tmp_path):
+        from captionax.cli.train_cc import main
+
+        # no egress in tests: the fetcher is off, so every image takes the
+        # deterministic stock-photo fallback (reference train_cc.py:98-103)
+        main(args(tmp_path, "--gcc-tsv", str(_gcc_tsv(tmp_path))))
+
+    def test_cc_train_gru(self, tmp_path):
+        from captionax.cli.cc_train_gru import main
+
+        main(args(tmp_path, "--cc-captions", str(_cc_file(tmp_path))))
+
+    def test_train_captioning(self, tmp_path):
+        from captionax.cli.train_captioning import main
+
+        main(args(tmp_path))
+
+    def test_train_init(self, tmp_path):
+        from captionax.cli.train_init import main
+
+        main(args(tmp_path))
+
+    def test_test_all(self, tmp_path):
+        from captionax.cli.test_all import main
+
+        main(args(tmp_path, "--cc-captions", str(_cc_file(tmp_path))))
