@@ -79,6 +79,10 @@ def main(batch: int = 256):
         "encoder_ms": round(t_enc * 1e3, 2),
         "train_step_ms": round(t_step * 1e3, 2),
         "combined_images_per_sec": round(batch / (t_enc + t_step), 1),
+        # with --cache-features (train/harness.py FeatureCache) the
+        # frozen encoder runs once per image, so steady-state epochs run
+        # at the train-only rate
+        "cached_features_images_per_sec": round(batch / t_step, 1),
         "train_only_images_per_sec": round(batch / t_step, 1),
         "batch": batch,
         "seq_len": T,

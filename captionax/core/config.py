@@ -50,6 +50,11 @@ class TrainConfig:
     log_every: int = 20
     checkpoint_dir: str = "checkpoints"
     metrics_every_epochs: int = 1
+    # cache frozen-encoder outputs per image in host RAM (bf16,
+    # ~200 KB/image at 49x2048): the encoder then runs once per image
+    # instead of every batch every epoch (the reference recomputes it,
+    # train_attention_gru.py:105)
+    cache_features: bool = False
 
 
 @dataclass

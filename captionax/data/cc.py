@@ -140,6 +140,9 @@ class ConceptualCaptionsData:
                 "captions": caps,
                 "lengths": (caps != 0).sum(axis=1).astype(np.int32),
                 "domain": dom,
+                # dataset indices let the trainer cache frozen-encoder
+                # features per image (train/harness.py FeatureCache)
+                "indices": np.asarray(chunk, np.int64),
             }
             if with_images and self.image_loader is not None:
                 out["images"] = np.stack([self.image(i) for i in chunk])

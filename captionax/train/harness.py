@@ -47,6 +47,34 @@ from captionax.train.steps import (
 DEVICE_BATCH_KEYS = ("features", "captions", "style_id", "domain_value")
 
 
+class FeatureCache:
+    """Host-RAM cache of frozen-encoder outputs keyed by dataset index.
+
+    The reference re-runs its frozen CNN on every batch of every epoch
+    (train_attention_gru.py:105); since the encoder is frozen the
+    features are a pure function of the image, so each image is encoded
+    exactly once and served from RAM afterwards (float16, ~200 KB/image
+    at 49x2048 — the whole Flickr7k corpus is ~1.4 GB).  The encoder
+    already computes in bfloat16, so the f16 round-trip is lossless for
+    practical purposes."""
+
+    def __init__(self, encode_fn, encoder_params):
+        self._encode = encode_fn
+        self._params = encoder_params
+        self._store: dict = {}
+
+    def featurize(self, images: np.ndarray, indices) -> np.ndarray:
+        missing = [i for i, idx in enumerate(indices)
+                   if int(idx) not in self._store]
+        if missing:
+            fresh = np.asarray(self._encode(self._params, images[missing]))
+            for j, i in enumerate(missing):
+                self._store[int(indices[i])] = fresh[j].astype(np.float16)
+        return np.stack(
+            [self._store[int(idx)] for idx in indices]
+        ).astype(np.float32)
+
+
 class CaptionTrainer:
     def __init__(
         self,
@@ -89,6 +117,10 @@ class CaptionTrainer:
             cooldown=config.plateau_cooldown,
         )
         self.checkpointer = BestCheckpointer(config.checkpoint_dir)
+        self.feature_cache = (
+            FeatureCache(self._encode, encoder_params)
+            if config.cache_features and encoder_params is not None else None
+        )
         self.global_step = 0
 
     def maybe_resume(self, directory: Optional[str] = None) -> bool:
@@ -111,7 +143,14 @@ class CaptionTrainer:
         if "features" not in batch and "images" in batch:
             assert self.encoder_params is not None, "encoder params required"
             batch = dict(batch)
-            batch["features"] = self._encode(self.encoder_params, batch["images"])
+            if self.feature_cache is not None and "indices" in batch:
+                batch["features"] = self.feature_cache.featurize(
+                    np.asarray(batch["images"]), batch["indices"]
+                )
+            else:
+                batch["features"] = self._encode(
+                    self.encoder_params, batch["images"]
+                )
         return {k: v for k, v in batch.items() if k in DEVICE_BATCH_KEYS}
 
     def _get_train_step(self, example_batch):

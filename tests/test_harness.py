@@ -182,3 +182,73 @@ class TestCombined:
         domains = {b["domain"] for b in combined.batches(8, seed=0)}
         assert domains & {"f", "h", "r"}, "no flickr batches"
         assert domains - {"f", "h", "r"}, "no cc batches"
+
+
+class TestFeatureCache:
+    """cache_features: the frozen encoder must run once per image, with
+    training numerically unchanged (f16 storage) vs the uncached path."""
+
+    def _image_batches(self, n_batches=2, seed=0):
+        rng = np.random.RandomState(seed)
+        imgs = rng.randint(0, 255, (n_batches * B, 32, 32, 3), np.uint8)
+        for i in range(n_batches):
+            idx = np.arange(i * B, (i + 1) * B)
+            yield {
+                "images": imgs[idx],
+                "indices": idx.astype(np.int64),
+                "captions": np.random.RandomState(seed + i).randint(
+                    1, V, (B, T)
+                ).astype(np.int32),
+                "lengths": np.full((B,), T, np.int32),
+                "style_id": np.int32(4),
+            }
+
+    def test_encoder_runs_once_per_image(self, model, tmp_path):
+        cfg = TrainConfig(max_epochs=3, batch_size=B, lr=1e-3,
+                          checkpoint_dir=str(tmp_path), log_every=100,
+                          cache_features=True)
+        trainer = CaptionTrainer(model, "hypernet", cfg, FakeVocab(V),
+                                 encoder_params={"fake": 0}, run_name="fc")
+        calls = []
+
+        def fake_encode(params, images):
+            imgs = np.asarray(images)
+            calls.append(len(imgs))
+            rng = np.random.RandomState(int(imgs.sum()) % 100000)
+            return rng.randn(len(imgs), R, NF).astype(np.float32)
+
+        trainer._encode = fake_encode
+        trainer.feature_cache._encode = fake_encode
+        hist = trainer.fit(lambda epoch: self._image_batches())
+        assert len(hist) == 3
+        # 2 batches x B images encoded exactly once, in epoch 0 only
+        assert sum(calls) == 2 * B, calls
+
+    def test_cached_matches_uncached(self, model, tmp_path):
+        def run(cache):
+            cfg = TrainConfig(max_epochs=2, batch_size=B, lr=1e-3,
+                              checkpoint_dir=str(tmp_path / str(cache)),
+                              log_every=100, cache_features=cache)
+            fresh = jax.tree_util.tree_map(jnp.array, model)  # state is
+            # donated by the train step; each run needs its own buffers
+            trainer = CaptionTrainer(fresh, "hypernet", cfg, FakeVocab(V),
+                                     encoder_params={"fake": 0},
+                                     run_name="fc2")
+
+            def fake_encode(params, images):
+                imgs = np.asarray(images)
+                rng = np.random.RandomState(int(imgs.sum()) % 100000)
+                # f16-quantized either way so both paths see equal inputs
+                return rng.randn(len(imgs), R, NF).astype(
+                    np.float16
+                ).astype(np.float32)
+
+            trainer._encode = fake_encode
+            if trainer.feature_cache is not None:
+                trainer.feature_cache._encode = fake_encode
+            return trainer.fit(lambda epoch: self._image_batches())
+
+        h1, h0 = run(True), run(False)
+        np.testing.assert_allclose(
+            h1[1]["train_loss_epoch"], h0[1]["train_loss_epoch"], rtol=1e-6
+        )
