@@ -9,11 +9,13 @@ Reference parity (/root/reference/models/encoder.py):
 - ``EncoderLstm`` — frozen ResNet-50 + trainable Linear(2048, E) +
   BatchNorm1d -> [B, E] global feature.
 
-Design: the reference freezes the CNN entirely (encoder.py:12-13), so the
-TPU implementation folds every BatchNorm into a per-channel scale/bias at
-weight-conversion time and runs inference-only — one less HBM round-trip
-per BN and a pure conv+scale+relu chain XLA fuses onto the MXU.  Compute
-dtype is bfloat16 by default (weights stay f32; outputs are f32).
+Design: the reference freezes the CNN entirely (encoder.py:12-13; the
+``Encoder.fine_tune`` hook at encoder.py:63-73 defaults to ``False`` and
+no reference trainer ever enables it), so the TPU implementation folds
+every BatchNorm into a per-channel scale/bias at weight-conversion time
+and runs inference-only — one less HBM round-trip per BN and a pure
+conv+scale+relu chain XLA fuses onto the MXU.  Compute dtype is bfloat16
+by default (weights stay f32; outputs are f32).
 
 Pretrained torchvision weights are not downloadable in this image; use
 :func:`from_torch_state_dict` to convert a user-supplied state_dict

@@ -93,6 +93,29 @@ class TestCoreClis:
 
         assert main(args(tmp_path, "--variant", "attention")) is not None
 
+    def test_caption_jsonl(self, tmp_path):
+        import json
+
+        import numpy as np
+        from PIL import Image
+
+        from captionax.cli.caption import main
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rs = np.random.RandomState(0)
+        for i in range(5):
+            Image.fromarray(
+                rs.randint(0, 255, (64, 80, 3), np.uint8)
+            ).save(img_dir / f"im{i}.jpg")
+        out = tmp_path / "caps.jsonl"
+        n = main(args(tmp_path, "--images", str(img_dir),
+                      "--out", str(out), "--styles", "factual,humour"))
+        lines = [json.loads(x) for x in out.read_text().splitlines()]
+        assert n == len(lines) == 10
+        assert {x["style"] for x in lines} == {"factual", "humour"}
+        assert all("caption" in x and "score" in x for x in lines)
+
     def test_build_vocab(self, tmp_path):
         from captionax.cli.build_vocab import main
 
