@@ -48,9 +48,11 @@ def main(argv=None):
                         choices=["gru", "hypernet"])
     parser.add_argument("--styles", type=str, default="factual")
     parser.add_argument("--encoder-weights", type=str, default="")
+    parser.add_argument("--decode", type=str, default="beam",
+                        choices=["beam", "greedy"])
     parser.add_argument("--no-fused", action="store_true",
-                        help="use the scan beam instead of the Pallas kernel"
-                             " (e.g. on CPU)")
+                        help="use the scan decoders instead of the Pallas"
+                             " kernels (e.g. on CPU)")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -58,7 +60,11 @@ def main(argv=None):
 
     from captionax.data.native_image import load_paths_batch
     from captionax.data.transforms import preprocess_images
-    from captionax.decode.serving import make_beam_server, unpack_beam_result
+    from captionax.decode.serving import (
+        make_beam_server,
+        make_greedy_server,
+        unpack_beam_result,
+    )
     from captionax.eval.metrics import ids_to_text
     from captionax.models.encoder import encoder_cnn
     from captionax.train.checkpoint import restore_checkpoint
@@ -96,15 +102,22 @@ def main(argv=None):
                 decoder = params["decoder"]
             else:
                 theta, decoder = None, params
-            # the Pallas kernel is TPU-only; fall back to the scan beam
-            # elsewhere (identical outputs, tests/test_decode_kernel.py)
+            # the Pallas kernels are TPU-only; fall back to the scan
+            # decoders elsewhere (identical outputs,
+            # tests/test_decode_kernel.py)
             use_fused = (not args.no_fused
                          and jax.devices()[0].platform == "tpu")
-            server = make_beam_server(
-                decoder, gru_params=theta,
-                max_steps=train_cfg.beam_max_steps,
-                use_fused=use_fused, packed=True,
-            )
+            if args.decode == "greedy":
+                server = make_greedy_server(
+                    decoder, gru_params=theta,
+                    max_len=train_cfg.beam_max_steps, use_fused=use_fused,
+                )
+            else:
+                server = make_beam_server(
+                    decoder, gru_params=theta,
+                    max_steps=train_cfg.beam_max_steps,
+                    use_fused=use_fused, packed=True,
+                )
 
             def feature_batches():
                 for start in range(0, len(files), B):
@@ -113,16 +126,22 @@ def main(argv=None):
                     yield encode(imgs)
 
             i = 0
-            for packed in server.map(feature_batches()):
-                res = unpack_beam_result(packed)
-                for j in range(res.tokens.shape[0]):
-                    name = os.path.basename(files[i])
+            for result in server.map(feature_batches()):
+                if args.decode == "greedy":
+                    rows = [{"caption": ids_to_text(t, vocab)}
+                            for t in np.asarray(result)]
+                else:
+                    res = unpack_beam_result(result)
+                    rows = [
+                        {"caption": ids_to_text(res.tokens[j], vocab),
+                         "score": float(res.scores[j]),
+                         "completed": bool(res.found[j])}
+                        for j in range(res.tokens.shape[0])
+                    ]
+                for row in rows:
                     out.write(json.dumps({
-                        "image": name,
-                        "style": style,
-                        "caption": ids_to_text(res.tokens[j], vocab),
-                        "score": float(res.scores[j]),
-                        "completed": bool(res.found[j]),
+                        "image": os.path.basename(files[i]),
+                        "style": style, **row,
                     }) + "\n")
                     i += 1
                     n_out += 1

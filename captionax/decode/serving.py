@@ -99,3 +99,28 @@ def make_beam_server(
     else:
         fn = jax.jit(decode)
     return PipelinedDecoder(fn)
+
+
+def make_greedy_server(
+    decoder_params,
+    gru_params=None,
+    max_len: int = 20,
+    use_fused: bool = True,
+) -> PipelinedDecoder:
+    """Greedy-decode counterpart of :func:`make_beam_server` (the
+    reference's greedy_search/infer path, models/decoderlstm.py:138-184);
+    the stream yields int32 token arrays [B, max_len]."""
+    if use_fused:
+        from captionax.ops.decode_kernel import fused_greedy
+
+        def decode(f):
+            return fused_greedy(decoder_params, f, gru_params=gru_params,
+                                max_len=max_len)
+    else:
+        from captionax.decode.search import greedy
+
+        def decode(f):
+            return greedy(decoder_params, f, max_len=max_len,
+                          gru_params=gru_params)
+
+    return PipelinedDecoder(jax.jit(decode))

@@ -116,6 +116,12 @@ class TestCoreClis:
         assert {x["style"] for x in lines} == {"factual", "humour"}
         assert all("caption" in x and "score" in x for x in lines)
 
+        n2 = main(args(tmp_path, "--images", str(img_dir),
+                       "--out", str(out), "--decode", "greedy"))
+        lines = [json.loads(x) for x in out.read_text().splitlines()]
+        assert n2 == len(lines) == 5
+        assert all("caption" in x for x in lines)
+
     def test_build_vocab(self, tmp_path):
         from captionax.cli.build_vocab import main
 

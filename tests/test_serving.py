@@ -73,3 +73,52 @@ class TestProfilerTrace:
         files = glob.glob(os.path.join(str(tmp_path), "**", "*"),
                           recursive=True)
         assert any(os.path.isfile(f) for f in files)
+
+
+class TestGreedyServer:
+    def test_matches_direct(self):
+        from captionax.decode.search import greedy
+        from captionax.decode.serving import make_greedy_server
+
+        params = dec.attention_gru_init(jax.random.PRNGKey(2), NF, F, E, H, V)
+        feats = [jax.random.normal(jax.random.PRNGKey(i), (B, R, NF))
+                 for i in range(3)]
+        srv = make_greedy_server(params, max_len=10, use_fused=False)
+        for f, out in zip(feats, srv.map(feats)):
+            np.testing.assert_array_equal(
+                out, np.asarray(greedy(params, f, max_len=10))
+            )
+
+
+class TestShardedDecode:
+    """Multi-chip serving: the scan beam under a batch-sharded 8-device
+    mesh must match the single-device result exactly."""
+
+    def test_beam_data_parallel(self):
+        assert len(jax.devices()) == 8
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from captionax.decode import beam_search
+        from captionax.parallel.mesh import make_mesh
+
+        params = dec.attention_gru_init(jax.random.PRNGKey(3), NF, F, E, H, V)
+        params["fc"]["b"] = params["fc"]["b"].at[2].add(0.4)
+        feats = jax.random.normal(jax.random.PRNGKey(4), (16, R, NF))
+        ref = beam_search(params, feats, k=3, max_steps=8)
+
+        mesh = make_mesh()  # 8-way data axis
+        shard = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        params8 = jax.device_put(params, rep)
+        feats8 = jax.device_put(feats, shard)
+        fn = jax.jit(
+            lambda p, f: beam_search(p, f, k=3, max_steps=8),
+            in_shardings=(rep, shard),
+        )
+        got = fn(params8, feats8)
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.found), np.asarray(ref.found)
+        )
