@@ -60,11 +60,7 @@ def main(argv=None):
 
     from captionax.data.native_image import load_paths_batch
     from captionax.data.transforms import preprocess_images
-    from captionax.decode.serving import (
-        make_beam_server,
-        make_greedy_server,
-        unpack_beam_result,
-    )
+    from captionax.decode.serving import PipelinedDecoder, unpack_beam_result
     from captionax.eval.metrics import ids_to_text
     from captionax.models.encoder import encoder_cnn
     from captionax.train.checkpoint import restore_checkpoint
@@ -90,39 +86,59 @@ def main(argv=None):
     files = list(iter_image_files(args.images))
     if not files:
         raise SystemExit(f"no images found under {args.images}")
-    B = train_cfg.batch_size
+    B = min(train_cfg.batch_size, len(files))
     styles = args.styles.split(",")
+    # the Pallas kernels are TPU-only; fall back to the scan decoders on
+    # CPU (identical outputs, tests/test_decode_kernel.py).  Under the
+    # axon relay the device platform is "axon", so test for cpu, not tpu.
+    use_fused = (not args.no_fused
+                 and jax.devices()[0].platform != "cpu")
+    decoder = params["decoder"] if args.kind == "hypernet" else params
+
+    # ONE jitted decode with theta as a traced argument: all styles and
+    # all (padded) chunks share a single remote compile (~30 s-10 min
+    # each through the relay, CLAUDE.md)
+    if args.decode == "greedy":
+        if use_fused:
+            from captionax.ops.decode_kernel import fused_greedy as _g
+
+            dec_fn = lambda th, f: _g(decoder, f, gru_params=th,  # noqa: E731
+                                      max_len=train_cfg.beam_max_steps)
+        else:
+            from captionax.decode.search import greedy as _g
+
+            dec_fn = lambda th, f: _g(decoder, f, gru_params=th,  # noqa: E731
+                                      max_len=train_cfg.beam_max_steps)
+    else:
+        from captionax.decode.serving import pack_beam_result
+
+        if use_fused:
+            from captionax.ops.decode_kernel import fused_beam_search as _b
+        else:
+            from captionax.decode.search import beam_search as _b
+
+        dec_fn = lambda th, f: pack_beam_result(  # noqa: E731
+            _b(decoder, f, gru_params=th,
+               max_steps=train_cfg.beam_max_steps)
+        )
+    jitted = jax.jit(dec_fn)
+
     n_out = 0
     with open(args.out, "w") as out:
         for style in styles:
-            if args.kind == "hypernet":
-                theta = synthesize_theta(
-                    params, np.int32(vocab(style))
-                )
-                decoder = params["decoder"]
-            else:
-                theta, decoder = None, params
-            # the Pallas kernels are TPU-only; fall back to the scan
-            # decoders elsewhere (identical outputs,
-            # tests/test_decode_kernel.py)
-            use_fused = (not args.no_fused
-                         and jax.devices()[0].platform == "tpu")
-            if args.decode == "greedy":
-                server = make_greedy_server(
-                    decoder, gru_params=theta,
-                    max_len=train_cfg.beam_max_steps, use_fused=use_fused,
-                )
-            else:
-                server = make_beam_server(
-                    decoder, gru_params=theta,
-                    max_steps=train_cfg.beam_max_steps,
-                    use_fused=use_fused, packed=True,
-                )
+            theta = (synthesize_theta(params, np.int32(vocab(style)))
+                     if args.kind == "hypernet" else None)
+            server = PipelinedDecoder(lambda f, th=theta: jitted(th, f))
 
             def feature_batches():
                 for start in range(0, len(files), B):
                     chunk = files[start:start + B]
                     imgs = load_paths_batch(chunk)  # native decode+resize
+                    if len(chunk) < B:  # pad to one compiled shape
+                        imgs = np.concatenate(
+                            [imgs, np.zeros((B - len(chunk),) + imgs.shape[1:],
+                                            np.uint8)]
+                        )
                     yield encode(imgs)
 
             i = 0
@@ -131,7 +147,7 @@ def main(argv=None):
                     rows = [{"caption": ids_to_text(t, vocab)}
                             for t in np.asarray(result)]
                 else:
-                    res = unpack_beam_result(result)
+                    res = unpack_beam_result(np.asarray(result))
                     rows = [
                         {"caption": ids_to_text(res.tokens[j], vocab),
                          "score": float(res.scores[j]),
@@ -139,6 +155,8 @@ def main(argv=None):
                         for j in range(res.tokens.shape[0])
                     ]
                 for row in rows:
+                    if i >= len(files):  # padding rows of the last chunk
+                        break
                     out.write(json.dumps({
                         "image": os.path.basename(files[i]),
                         "style": style, **row,

@@ -140,9 +140,11 @@ class ConceptualCaptionsData:
                 "captions": caps,
                 "lengths": (caps != 0).sum(axis=1).astype(np.int32),
                 "domain": dom,
-                # dataset indices let the trainer cache frozen-encoder
-                # features per image (train/harness.py FeatureCache)
+                # dataset indices + namespace let the trainer cache
+                # frozen-encoder features per image without cross-dataset
+                # key collisions (train/harness.py FeatureCache)
                 "indices": np.asarray(chunk, np.int64),
+                "index_ns": "cc",
             }
             if with_images and self.image_loader is not None:
                 out["images"] = np.stack([self.image(i) for i in chunk])

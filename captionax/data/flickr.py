@@ -159,9 +159,11 @@ class FlickrStyleData:
                 "lengths": (caps != 0).sum(axis=1).astype(np.int32),
                 "style_id": np.int32(self.style_id(batch_style)),
                 "style": batch_style,
-                # dataset indices let the trainer cache frozen-encoder
-                # features per image (train/harness.py FeatureCache)
+                # dataset indices + namespace let the trainer cache
+                # frozen-encoder features per image without cross-dataset
+                # key collisions (train/harness.py FeatureCache)
                 "indices": np.asarray(chunk, np.int64),
+                "index_ns": "flickr",
             }
             if with_images and self.image_loader is not None:
                 out["images"] = np.stack([self.image(i) for i in chunk])

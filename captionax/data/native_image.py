@@ -17,6 +17,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -29,19 +30,37 @@ GRAY_REPLICATE = 0  # PIL convert("RGB") semantics
 GRAY_VIRIDIS = 1    # reference CC quirk (LUT applied before resize)
 
 
+_LOAD_LOCK = threading.Lock()
+_LOAD_FAILED = False
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _LIB
+    global _LIB, _LOAD_FAILED
     if _LIB is not None:
         return _LIB
+    if _LOAD_FAILED:  # don't re-run make per image after a failed build
+        return None
+    with _LOAD_LOCK:
+        if _LIB is not None:
+            return _LIB
+        if _LOAD_FAILED:
+            return None
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _LIB, _LOAD_FAILED
     if not os.path.exists(_SO):
         try:
             subprocess.run(["make", "-C", _CSRC, "libcaptionax_img.so"],
                            check=True, capture_output=True)
         except Exception:
+            _LOAD_FAILED = True
             return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
+        _LOAD_FAILED = True
         return None
     u8p = np.ctypeslib.ndpointer(np.uint8)
     lib.cx_img_decode_resize.restype = ctypes.c_int
@@ -73,6 +92,30 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def _pil_gray_u8(im) -> "np.ndarray":
+    """PIL gray image -> uint8 with 16-bit values SCALED (not saturated:
+    PIL's convert("L") clamps >255 to white; skimage and the native path
+    scale by 255/65535, which we match)."""
+    arr = np.asarray(im)
+    if arr.dtype == np.uint8:
+        return arr
+    arr = arr.astype(np.uint32)
+    return ((arr * 255 + 32767) // 65535).astype(np.uint8)
+
+
+def _pil_to_rgb(im, gray_mode: int) -> "np.ndarray":
+    """PIL image -> uint8 RGB with native-path semantics (viridis quirk
+    on gray sources, scaled 16-bit, alpha dropped)."""
+    if im.mode in ("L", "I;16", "I", "I;16B", "I;16L"):
+        g = _pil_gray_u8(im)
+        if gray_mode == GRAY_VIRIDIS:
+            from captionax.data.transforms import grayscale_to_viridis
+
+            return grayscale_to_viridis(g)
+        return np.stack([g] * 3, axis=-1)
+    return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
 def _pil_decode_resize(data: bytes, hw: Tuple[int, int],
                        gray_mode: int) -> np.ndarray:
     """Per-image fallback with identical semantics to the native path."""
@@ -81,15 +124,7 @@ def _pil_decode_resize(data: bytes, hw: Tuple[int, int],
     from PIL import Image
 
     with Image.open(io.BytesIO(data)) as im:
-        if im.mode in ("L", "I;16", "I") and gray_mode == GRAY_VIRIDIS:
-            from captionax.data.transforms import grayscale_to_viridis
-
-            arr = grayscale_to_viridis(
-                np.asarray(im.convert("L"), dtype=np.uint8)
-            )
-            im2 = Image.fromarray(arr)
-        else:
-            im2 = im.convert("RGB")
+        im2 = Image.fromarray(_pil_to_rgb(im, gray_mode))
         return np.asarray(
             im2.resize((hw[1], hw[0]), Image.BILINEAR), dtype=np.uint8
         )
@@ -123,13 +158,7 @@ def decode(data: bytes, gray_mode: int = GRAY_REPLICATE) -> np.ndarray:
     from PIL import Image
 
     with Image.open(io.BytesIO(data)) as im:
-        if im.mode in ("L", "I;16", "I") and gray_mode == GRAY_VIRIDIS:
-            from captionax.data.transforms import grayscale_to_viridis
-
-            return grayscale_to_viridis(
-                np.asarray(im.convert("L"), dtype=np.uint8)
-            )
-        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        return _pil_to_rgb(im, gray_mode)
 
 
 def decode_resize_batch(

@@ -220,11 +220,17 @@ def _greedy_kernel(feats_ref, att1_ref, h0_ref,
                    emb_ref, ua_w_ref, ua_b_ref, va_ref,
                    wih_ref, whh_ref, bih_ref, bhh_ref, fcw_ref, fcb_ref,
                    out_ref, h_scr, tok_scr, done_scr,
-                   *, max_len: int, hd: int, vp: int, end_id: int):
+                   *, max_len: int, hd: int, vp: int, end_id: int,
+                   n_valid: int):
     rows = h0_ref.shape[0]
     h_scr[:] = h0_ref[:]
     tok_scr[:] = jnp.zeros((rows, 1), jnp.int32)
-    done_scr[:] = jnp.zeros((rows, 1), jnp.int32)
+    # batch-padding rows start done so they can't defeat the early exit
+    row_global = (
+        pl.program_id(0) * rows
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    )
+    done_scr[:] = (row_global >= n_valid).astype(jnp.int32)
 
     ua_w, ua_b, va = ua_w_ref[:], ua_b_ref[:], va_ref[:]
     wih_t, whh_t = wih_ref[:], whh_ref[:]
@@ -341,7 +347,8 @@ def fused_greedy(
     grid = rows // block_rows
 
     kernel = functools.partial(
-        _greedy_kernel, max_len=max_len, hd=H, vp=w["vp"], end_id=end_id
+        _greedy_kernel, max_len=max_len, hd=H, vp=w["vp"], end_id=end_id,
+        n_valid=B,
     )
     tile = lambda *shape: pl.BlockSpec(
         (block_rows,) + shape, lambda i: (i,) + (0,) * len(shape),
@@ -382,7 +389,7 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
                  h_scr, tok_scr, hist_scr, score_scr,
                  best_seq_scr, best_val_scr,
                  *, max_steps: int, hd: int, vp: int, end_id: int, k: int,
-                 ablate: str = ""):
+                 n_valid: int, ablate: str = ""):
     rows = h0_ref.shape[0]          # images * k
     n_img = rows // k
     T = max_steps + 1
@@ -394,9 +401,17 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
     h_scr[:] = h0_ref[:]
     tok_scr[:] = jnp.zeros((rows, 1), jnp.int32)
     hist_scr[:] = jnp.zeros((rows, T), jnp.int32)
-    # beam 0 alive at 0.0; beams 1..k-1 at -inf (step-1 == beam-0-only)
+    # beam 0 alive at 0.0; beams 1..k-1 at -inf (step-1 == beam-0-only);
+    # batch-padding images start fully retired so they can't defeat the
+    # early exit (their outputs are sliced away by the caller)
     beam_col = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)[:, 0] % k
-    score_scr[:, 0] = jnp.where(beam_col == 0, 0.0, NEG_INF)
+    img_global = (
+        pl.program_id(0) * n_img
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)[:, 0] // k
+    )
+    score_scr[:, 0] = jnp.where(
+        jnp.logical_and(beam_col == 0, img_global < n_valid), 0.0, NEG_INF
+    )
     best_seq_scr[:] = jnp.zeros((rows, T), jnp.int32)
     best_val_scr[:] = jnp.full((rows, 3), NEG_INF, jnp.float32)
     best_val_scr[:, 1] = jnp.zeros((rows,), jnp.float32)
@@ -636,7 +651,7 @@ def fused_beam_search(
     grid = n_img // block_images
     kernel = functools.partial(
         _beam_kernel, max_steps=max_steps, hd=H, vp=w["vp"],
-        end_id=end_id, k=k, ablate=ablate,
+        end_id=end_id, k=k, n_valid=B, ablate=ablate,
     )
     rtile = lambda *shape: pl.BlockSpec(
         (rows_blk,) + shape, lambda i: (i,) + (0,) * len(shape),

@@ -63,15 +63,20 @@ class FeatureCache:
         self._params = encoder_params
         self._store: dict = {}
 
-    def featurize(self, images: np.ndarray, indices) -> np.ndarray:
-        missing = [i for i, idx in enumerate(indices)
-                   if int(idx) not in self._store]
+    def featurize(self, get_images, indices, namespace: str = "") -> np.ndarray:
+        """``get_images`` is a zero-arg callable so a warm cache never
+        materializes (or device-round-trips) the image batch at all.
+        ``namespace`` separates index spaces when one trainer mixes
+        datasets (e.g. Flickr + CC in train_hyper_combine)."""
+        keys = [(namespace, int(idx)) for idx in indices]
+        missing = [i for i, k in enumerate(keys) if k not in self._store]
         if missing:
+            images = np.asarray(get_images())
             fresh = np.asarray(self._encode(self._params, images[missing]))
             for j, i in enumerate(missing):
-                self._store[int(indices[i])] = fresh[j].astype(np.float16)
+                self._store[keys[i]] = fresh[j].astype(np.float16)
         return np.stack(
-            [self._store[int(idx)] for idx in indices]
+            [self._store[k] for k in keys]
         ).astype(np.float32)
 
 
@@ -139,13 +144,23 @@ class CaptionTrainer:
         return True
 
     # -- plumbing -------------------------------------------------------
+    def _loader(self, batches, mesh=None) -> BatchLoader:
+        # with an active feature cache, images stay host-side (a warm
+        # cache never reads them; device_put would round-trip [B,224,
+        # 224,3] through the relay for nothing)
+        keys = (("features", "captions", "style_id", "domain_value")
+                if self.feature_cache is not None
+                else ("images", "captions", "features"))
+        return BatchLoader(batches, mesh=mesh, device_keys=keys)
+
     def _featurize(self, batch: Dict) -> Dict:
         if "features" not in batch and "images" in batch:
             assert self.encoder_params is not None, "encoder params required"
             batch = dict(batch)
             if self.feature_cache is not None and "indices" in batch:
                 batch["features"] = self.feature_cache.featurize(
-                    np.asarray(batch["images"]), batch["indices"]
+                    lambda: batch["images"], batch["indices"],
+                    namespace=str(batch.get("index_ns", "")),
                 )
             else:
                 batch["features"] = self._encode(
@@ -179,7 +194,7 @@ class CaptionTrainer:
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
             n, loss_sum = 0, 0.0
-            for batch in BatchLoader(train_batches(epoch), mesh=self.mesh):
+            for batch in self._loader(train_batches(epoch), mesh=self.mesh):
                 db = self._featurize(batch)
                 step_fn = self._get_train_step(db)
                 self.state, metrics = step_fn(self.state, db)
@@ -215,7 +230,7 @@ class CaptionTrainer:
         sums: Dict[str, float] = {"val_loss_tf": 0.0, "val_loss": 0.0}
         n = 0
         quality = CaptionMetrics(self.vocab) if with_quality_metrics else None
-        for batch in BatchLoader(batches, mesh=None):
+        for batch in self._loader(batches):
             db = self._featurize(batch)
             out = self._eval_step(self.params, db)
             sums["val_loss_tf"] += float(out["val_loss_tf"])
@@ -253,7 +268,7 @@ class CaptionTrainer:
 
         from captionax.models.hypernet import hypernet_apply
 
-        for batch in BatchLoader(batches, mesh=None):
+        for batch in self._loader(batches):
             db = self._featurize(batch)
             if self.kind == "gru":
                 decoder, theta = self.params, None
