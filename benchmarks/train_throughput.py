@@ -63,7 +63,8 @@ def main(batch: int = 256):
     batch_d = {"features": feats, "captions": caps,
                "style_id": jnp.asarray(4, jnp.int32)}
     tx = make_optimizer(5e-3)
-    train_step, _ = make_hypernet_steps(tx)
+    bf16 = "--bf16" in sys.argv
+    train_step, _ = make_hypernet_steps(tx, bf16=bf16)
     state = create_train_state(params, tx)
     jstep = jax.jit(train_step, donate_argnums=())
 
@@ -86,8 +87,10 @@ def main(batch: int = 256):
         "train_only_images_per_sec": round(batch / t_step, 1),
         "batch": batch,
         "seq_len": T,
+        "bf16_compute": bf16,
     }))
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
+    nums = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(int(nums[0]) if nums else 256)

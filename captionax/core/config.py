@@ -50,6 +50,10 @@ class TrainConfig:
     log_every: int = 20
     checkpoint_dir: str = "checkpoints"
     metrics_every_epochs: int = 1
+    # mixed-precision training: decoder matmuls/scan in bfloat16 with
+    # f32 master weights + f32 CE (the reference trains f32 only;
+    # opt-in TPU speedup, numerics differ slightly)
+    bf16_compute: bool = False
     # cache frozen-encoder outputs per image in host RAM (bf16,
     # ~200 KB/image at 49x2048): the encoder then runs once per image
     # instead of every batch every epoch (the reference recomputes it,

@@ -61,7 +61,9 @@ def gru_cell(params: CellParams, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     r = jax.nn.sigmoid(i_r + h_r)
     z = jax.nn.sigmoid(i_z + h_z)
     n = jnp.tanh(i_n + r * h_n)
-    return (1.0 - z) * n + z * h
+    # gates accumulate in f32 (preferred_element_type); the state keeps
+    # the carry dtype so bf16 mixed-precision scans type-check
+    return ((1.0 - z) * n + z * h).astype(h.dtype)
 
 
 def lstm_cell_init(key, input_dim: int, hidden_dim: int, dtype=jnp.float32) -> CellParams:

@@ -103,9 +103,13 @@ class CaptionTrainer:
         self.state = create_train_state(params, self.tx)
         self._embed_fn = embed_fn
         if kind == "gru":
-            train_step, eval_step = make_gru_steps(self.tx)
+            train_step, eval_step = make_gru_steps(
+                self.tx, bf16=config.bf16_compute
+            )
         else:
-            train_step, eval_step = make_hypernet_steps(self.tx, embed_fn=embed_fn)
+            train_step, eval_step = make_hypernet_steps(
+                self.tx, embed_fn=embed_fn, bf16=config.bf16_compute
+            )
         if mesh is not None:
             self._train_step = None  # jitted lazily with example batch
             self._raw_train_step = train_step

@@ -39,22 +39,45 @@ from captionax.train.losses import cross_entropy_loss
 from captionax.train.state import TrainState
 
 
-def _tf_logits(decoder_params, batch, sample_prob=0.0, rng=None, gru_params=None):
-    return dec.teacher_forced(
+def _bf16(tree):
+    """f32 leaves -> bf16 (mixed-precision compute; the cast is
+    differentiable and its transpose returns f32 grads to the masters)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        tree,
+    )
+
+
+def _tf_logits(decoder_params, batch, sample_prob=0.0, rng=None,
+               gru_params=None, bf16=False):
+    """Teacher-forced logits, always returned in f32 (the CE/log_softmax
+    runs in f32 for stability even under bf16 compute).
+
+    ``bf16=True`` = mixed precision: master params stay f32 in the
+    optimizer; the decoder matmuls/scan run in bfloat16 (the reference
+    trains f32 only — this is an opt-in TPU speedup, --bf16-compute)."""
+    features = batch["features"]
+    if bf16:
+        decoder_params = _bf16(decoder_params)
+        gru_params = None if gru_params is None else _bf16(gru_params)
+        features = features.astype(jnp.bfloat16)
+    logits = dec.teacher_forced(
         decoder_params,
-        batch["features"],
+        features,
         batch["captions"],
         sample_prob=sample_prob,
         rng=rng,
         gru_params=gru_params,
     )[0]
+    return logits.astype(jnp.float32)
 
 
 # ------------------------------------------------------------- plain GRU
-def make_gru_steps(tx, pad_id: int = 0):
+def make_gru_steps(tx, pad_id: int = 0, bf16: bool = False):
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
-            logits = _tf_logits(params, batch)
+            logits = _tf_logits(params, batch, bf16=bf16)
             return cross_entropy_loss(logits, batch["captions"], pad_id)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -94,7 +117,9 @@ def synthesize_theta_batched(params, style_embeds):
     return jax.vmap(lambda e: hypernet_apply(params["hn"], e))(style_embeds)
 
 
-def make_hypernet_steps(tx, pad_id: int = 0, embed_fn: Callable = style_token_embed):
+def make_hypernet_steps(tx, pad_id: int = 0,
+                        embed_fn: Callable = style_token_embed,
+                        bf16: bool = False):
     """``embed_fn(params, batch) -> style/domain embedding`` selects the
     conditioning source: vocab style tokens (FlickrStyle) or a
     DomainEmbedder projection reading batch['domain_value'] (CC)."""
@@ -102,7 +127,8 @@ def make_hypernet_steps(tx, pad_id: int = 0, embed_fn: Callable = style_token_em
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             theta = hypernet_apply(params["hn"], embed_fn(params, batch))
-            logits = _tf_logits(params["decoder"], batch, gru_params=theta)
+            logits = _tf_logits(params["decoder"], batch, gru_params=theta,
+                                bf16=bf16)
             return cross_entropy_loss(logits, batch["captions"], pad_id)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -178,3 +178,33 @@ class TestDataParallel:
         # adam's g/sqrt(v) normalization amplifies that to ~1e-4 on params
         for a, b in zip(l1, l8):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+class TestBf16Compute:
+    """Opt-in mixed precision: bf16 decoder compute with f32 masters must
+    track the f32 loss closely and keep params/grads finite."""
+
+    def test_loss_close_and_trains(self, model):
+        from captionax.train.state import create_train_state, make_optimizer
+        from captionax.train.steps import make_hypernet_steps
+
+        tx = make_optimizer(1e-3)
+        batch = make_batch(jax.random.PRNGKey(3))
+        step32, _ = make_hypernet_steps(tx)
+        step16, _ = make_hypernet_steps(tx, bf16=True)
+
+        s32 = create_train_state(jax.tree_util.tree_map(jnp.array, model), tx)
+        s16 = create_train_state(jax.tree_util.tree_map(jnp.array, model), tx)
+        losses32, losses16 = [], []
+        for _ in range(5):
+            s32, m32 = step32(s32, batch)
+            s16, m16 = step16(s16, batch)
+            losses32.append(float(m32["train_loss"]))
+            losses16.append(float(m16["train_loss"]))
+        assert all(np.isfinite(losses16))
+        # same batch repeated: both must descend and stay close
+        assert losses16[-1] < losses16[0]
+        np.testing.assert_allclose(losses16, losses32, rtol=2e-2)
+        # masters stay f32
+        for leaf in jax.tree_util.tree_leaves(s16.params):
+            assert leaf.dtype == jnp.float32
