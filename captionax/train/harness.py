@@ -71,10 +71,13 @@ class FeatureCache:
         keys = [(namespace, int(idx)) for idx in indices]
         missing = [i for i, k in enumerate(keys) if k not in self._store]
         if missing:
+            # encode the WHOLE batch, not images[missing]: a varying
+            # missing-count would compile a fresh encoder program per
+            # distinct shape (30 s-10 min each through the relay)
             images = np.asarray(get_images())
-            fresh = np.asarray(self._encode(self._params, images[missing]))
-            for j, i in enumerate(missing):
-                self._store[keys[i]] = fresh[j].astype(np.float16)
+            fresh = np.asarray(self._encode(self._params, images))
+            for i in missing:
+                self._store[keys[i]] = fresh[i].astype(np.float16)
         return np.stack(
             [self._store[k] for k in keys]
         ).astype(np.float32)
