@@ -101,6 +101,53 @@ def make_beam_server(
     return PipelinedDecoder(fn)
 
 
+def make_sharded_beam_decode(
+    mesh,
+    decoder_params,
+    gru_params=None,
+    max_steps: int = 50,
+    block_images: int = 24,
+    interpret: bool = False,
+    f32: bool = False,
+) -> Callable:
+    """Multi-chip fused beam search: one kernel launch per device over a
+    ``data``-sharded feature batch.
+
+    The fused Pallas kernel (captionax.ops.decode_kernel) is a per-chip
+    program; scaling it over a slice is pure data parallelism — no
+    cross-chip communication exists in decoding, so ``shard_map`` over the
+    mesh's ``data`` axis gives linear throughput in chips (the reference
+    has no multi-device inference at all, SURVEY.md §2.10).
+
+    Returns a jitted ``decode(features [B, R, F]) -> BeamResult`` with B
+    split over ``data`` (B must divide by the data-axis size; pad the tail
+    batch with zero rows and drop them host-side).  Params and theta are
+    replicated — they are the same for every image, exactly like the
+    single-chip server.  ``interpret=True`` runs the kernel in Pallas
+    interpret mode so the SPMD wiring is testable on a CPU mesh.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from captionax.ops.decode_kernel import fused_beam_search
+
+    def local_decode(params, theta, feats):
+        return fused_beam_search(
+            params, feats, gru_params=theta, max_steps=max_steps,
+            block_images=block_images, interpret=interpret, f32=f32,
+        )
+
+    sharded = jax.shard_map(
+        local_decode,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data")),
+        out_specs=P("data"),
+        check_vma=False,  # pallas_call is opaque to varying-manual-axes checks
+    )
+    return jax.jit(partial(sharded, decoder_params, gru_params))
+
+
 def make_greedy_server(
     decoder_params,
     gru_params=None,

@@ -122,3 +122,35 @@ class TestShardedDecode:
         np.testing.assert_array_equal(
             np.asarray(got.found), np.asarray(ref.found)
         )
+
+    def test_fused_beam_shard_map(self):
+        """shard_map over the fused Pallas kernel (interpret mode on the
+        CPU mesh): per-device kernel launches over the data axis must
+        reproduce the single-device kernel bit-exactly."""
+        assert len(jax.devices()) == 8
+        from captionax.decode.serving import make_sharded_beam_decode
+        from captionax.ops.decode_kernel import fused_beam_search
+        from captionax.parallel.mesh import make_mesh
+
+        params = dec.attention_gru_init(jax.random.PRNGKey(5), NF, F, E, H, V)
+        params["fc"]["b"] = params["fc"]["b"].at[2].add(0.4)
+        feats = jax.random.normal(jax.random.PRNGKey(6), (16, R, NF))
+        ref = fused_beam_search(
+            params, feats, max_steps=8, block_images=2, interpret=True,
+            f32=True,
+        )
+        mesh = make_mesh()  # 8-way data axis; 2 images per device
+        decode = make_sharded_beam_decode(
+            mesh, params, max_steps=8, block_images=2, interpret=True,
+            f32=True,
+        )
+        got = decode(feats)
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.found), np.asarray(ref.found)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(ref.scores), rtol=1e-6
+        )
