@@ -63,7 +63,7 @@ def main(batch: int = 256):
     batch_d = {"features": feats, "captions": caps,
                "style_id": jnp.asarray(4, jnp.int32)}
     tx = make_optimizer(5e-3)
-    bf16 = "--bf16" in sys.argv
+    bf16 = "--bf16" in sys.argv or "--bf16-compute" in sys.argv
     train_step, _ = make_hypernet_steps(tx, bf16=bf16)
     state = create_train_state(params, tx)
     jstep = jax.jit(train_step, donate_argnums=())

@@ -109,6 +109,7 @@ def make_sharded_beam_decode(
     block_images: int = 24,
     interpret: bool = False,
     f32: bool = False,
+    packed: bool = False,
 ) -> Callable:
     """Multi-chip fused beam search: one kernel launch per device over a
     ``data``-sharded feature batch.
@@ -125,6 +126,15 @@ def make_sharded_beam_decode(
     replicated — they are the same for every image, exactly like the
     single-chip server.  ``interpret=True`` runs the kernel in Pallas
     interpret mode so the SPMD wiring is testable on a CPU mesh.
+
+    ``packed=True`` returns one int32 buffer per batch (pack_beam_result)
+    — through the axon relay device->host fetches cost ~30 ms per ARRAY,
+    so multi-chip streams should use ``packed=True`` and wrap the result
+    in :class:`PipelinedDecoder`, exactly like the single-chip server:
+
+        decode = make_sharded_beam_decode(mesh, params, packed=True)
+        for buf in PipelinedDecoder(decode).map(batches):
+            res = unpack_beam_result(buf)
     """
     from functools import partial
 
@@ -145,7 +155,10 @@ def make_sharded_beam_decode(
         out_specs=P("data"),
         check_vma=False,  # pallas_call is opaque to varying-manual-axes checks
     )
-    return jax.jit(partial(sharded, decoder_params, gru_params))
+    fn = partial(sharded, decoder_params, gru_params)
+    if packed:
+        return jax.jit(lambda feats: pack_beam_result(fn(feats)))
+    return jax.jit(fn)
 
 
 def make_greedy_server(

@@ -175,7 +175,8 @@ def teacher_forced(
         return (h, logits), (logits, attn)
 
     V = params["fc"]["b"].shape[0]
-    init_logits = jnp.zeros((B, V), jnp.float32)
+    # carry dtype must match the body's logits (bf16 under mixed precision)
+    init_logits = jnp.zeros((B, V), params["fc"]["w"].dtype)
     (_, _), (logits, attn) = jax.lax.scan(
         body, (h0, init_logits), (jnp.arange(T), coins)
     )

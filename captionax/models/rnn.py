@@ -51,8 +51,14 @@ def gru_cell(params: CellParams, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     """
     hd = h.shape[-1]
     if params["w_ih"].ndim == 3:
-        gi = jnp.einsum("bgi,bi->bg", params["w_ih"], x) + params["b_ih"]
-        gh = jnp.einsum("bgh,bh->bg", params["w_hh"], h) + params["b_hh"]
+        gi = jnp.einsum(
+            "bgi,bi->bg", params["w_ih"], x,
+            preferred_element_type=jnp.float32,
+        ) + params["b_ih"]
+        gh = jnp.einsum(
+            "bgh,bh->bg", params["w_hh"], h,
+            preferred_element_type=jnp.float32,
+        ) + params["b_hh"]
     else:
         gi = jnp.dot(x, params["w_ih"].T, preferred_element_type=jnp.float32) + params["b_ih"]
         gh = jnp.dot(h, params["w_hh"].T, preferred_element_type=jnp.float32) + params["b_hh"]

@@ -208,3 +208,18 @@ class TestBf16Compute:
         # masters stay f32
         for leaf in jax.tree_util.tree_leaves(s16.params):
             assert leaf.dtype == jnp.float32
+
+    def test_bf16_scheduled_sampling_traces(self, model):
+        """Regression: the sampling-branch scan carry must adopt the bf16
+        logits dtype (a hardcoded f32 init_logits fails to trace)."""
+        from captionax.train.steps import _tf_logits
+
+        batch = make_batch(jax.random.PRNGKey(4))
+        logits = jax.jit(
+            lambda p, b: _tf_logits(
+                p["decoder"], b, sample_prob=0.5,
+                rng=jax.random.PRNGKey(0), bf16=True,
+            )
+        )(model, batch)
+        assert logits.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(logits)))

@@ -151,6 +151,35 @@ class TestShardedDecode:
         np.testing.assert_array_equal(
             np.asarray(got.found), np.asarray(ref.found)
         )
+        np.testing.assert_array_equal(
+            np.asarray(got.lengths), np.asarray(ref.lengths)
+        )
         np.testing.assert_allclose(
             np.asarray(got.scores), np.asarray(ref.scores), rtol=1e-6
         )
+
+    def test_fused_beam_shard_map_packed(self):
+        """packed=True multi-chip stream: one int32 buffer, roundtrips."""
+        assert len(jax.devices()) == 8
+        from captionax.decode.serving import (
+            make_sharded_beam_decode,
+            unpack_beam_result,
+        )
+        from captionax.parallel.mesh import make_mesh
+
+        params = dec.attention_gru_init(jax.random.PRNGKey(7), NF, F, E, H, V)
+        params["fc"]["b"] = params["fc"]["b"].at[2].add(0.4)
+        feats = jax.random.normal(jax.random.PRNGKey(8), (16, R, NF))
+        mesh = make_mesh()
+        plain = make_sharded_beam_decode(
+            mesh, params, max_steps=8, block_images=2, interpret=True,
+            f32=True,
+        )(feats)
+        srv = PipelinedDecoder(make_sharded_beam_decode(
+            mesh, params, max_steps=8, block_images=2, interpret=True,
+            f32=True, packed=True,
+        ))
+        got = unpack_beam_result(next(iter(srv.map([feats]))))
+        np.testing.assert_array_equal(got.tokens, np.asarray(plain.tokens))
+        np.testing.assert_array_equal(got.lengths, np.asarray(plain.lengths))
+        np.testing.assert_array_equal(got.found, np.asarray(plain.found))
