@@ -143,18 +143,43 @@ def main(batch: int = 1024):
         lambda x: np.asarray(x[0]["b"][0]),
     )
 
-    # --- the real train step
+    # --- the historical train step: unfused CE on [B,T,V] logits, no remat
     tx = make_optimizer(5e-3)
-    train_step, _ = make_hypernet_steps(tx, bf16=bf16)
+    from captionax.train.state import TrainState as _TS  # noqa: F401
+
+    def unfused_step(state, b):
+        def loss(p):
+            th = hypernet_apply(p["hn"], embedding(p["decoder"]["embed"],
+                                                   b["style_id"]))
+            logits = _tf_logits(p["decoder"], b, gru_params=th, bf16=bf16)
+            return cross_entropy_loss(logits, b["captions"], 0)
+
+        l, grads = jax.value_and_grad(loss)(state.params)
+        return state.apply_gradients(grads, tx), {"train_loss": l}
+
     state = create_train_state(params, tx)
-    jstep = jax.jit(train_step, donate_argnums=())
+    jstep = jax.jit(unfused_step, donate_argnums=())
 
     def one():
         nonlocal state
         state, m = jstep(state, batch_d)
         return m["train_loss"]
 
-    out["full_step_ms"] = timeit(one, lambda x: float(x))
+    out["step_unfused_ms"] = timeit(one, lambda x: float(x))
+
+    # --- production step: fused chunked CE, with/without scan remat
+    for label, remat in (("step_fused_ms", False),
+                         ("step_fused_remat_ms", True)):
+        train_step_r, _ = make_hypernet_steps(tx, bf16=bf16, remat=remat)
+        state_r = create_train_state(params, tx)
+        jstep_r = jax.jit(train_step_r, donate_argnums=())
+
+        def one_r():
+            nonlocal state_r
+            state_r, m = jstep_r(state_r, batch_d)
+            return m["train_loss"]
+
+        out[label] = timeit(one_r, lambda x: float(x))
 
     for k in out:
         if k.endswith("_ms"):

@@ -148,7 +148,9 @@ def beam_search(
 
     # expand over beams: [B, K, ...] flattened to [B*K, ...]
     feats_bk = jnp.broadcast_to(features[:, None], (B, k, R, F)).reshape(B * k, R, F)
-    if gru_params is not None and next(iter(gru_params.values())).ndim > 2:
+    # NOTE: check w_ih by name — jax tree ops rebuild dicts key-sorted, so
+    # the "first value" would be b_hh (ndim 2 even when theta is batched)
+    if gru_params is not None and gru_params["w_ih"].ndim == 3:
         gru_bk = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[:, None], (B, k) + x.shape[1:]).reshape(
                 (B * k,) + x.shape[1:]

@@ -115,6 +115,51 @@ def decode_step(
     return h, logits, attn
 
 
+def teacher_forced_hidden(
+    params: Params,
+    raw_features: jnp.ndarray,
+    captions: jnp.ndarray,
+    gru_params: Optional[Dict] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The pure-teacher-forcing recurrence WITHOUT the vocab projection:
+    -> (hs [B, T, H], attn [B, T, R]).
+
+    Logits never feed back into the loop under pure TF, so the scan only
+    carries the recurrence (attention + GRU, small matmuls); the V-sized
+    projection is the caller's (one [B*T, H] x [H, V] GEMM in
+    :func:`teacher_forced`, or the fused chunked CE in
+    captionax.train.losses which never materializes [B*T, V]).
+
+    ``remat=True`` checkpoints the scan body: backward saves only the
+    [B, H] carry per step and recomputes the attention math (whose
+    [B, R, H] residuals otherwise dominate the step's HBM traffic —
+    measured ~11 ms of the 84 ms f32 train step at B=1024,
+    benchmarks/train_ablate.py).  Numerics are identical.
+    """
+    features = encode_features(params, raw_features)
+    h0 = init_hidden(params, features)
+    embeds = embedding(params["embed"], captions)  # [B, T, E]
+    B, T, E = embeds.shape
+    zero_embed = jnp.zeros((B, E), embeds.dtype)
+    cell = params["gru"] if gru_params is None else gru_params
+
+    def body(h, t):
+        word_embed = jnp.where(
+            t == 0, zero_embed, embeds[:, jnp.maximum(t - 1, 0)]
+        )
+        context, attn = bahdanau_attention(params["attention"], features, h)
+        x = jnp.concatenate([word_embed, context], axis=-1)
+        h = gru_cell(cell, x, h)
+        h = _extra_layers(params, h)
+        return h, (h, attn)
+
+    _, (hs, attn) = jax.lax.scan(
+        jax.checkpoint(body) if remat else body, h0, jnp.arange(T)
+    )
+    return jnp.transpose(hs, (1, 0, 2)), jnp.transpose(attn, (1, 0, 2))
+
+
 def teacher_forced(
     params: Params,
     raw_features: jnp.ndarray,
@@ -123,42 +168,29 @@ def teacher_forced(
     sample_temp: float = 0.5,
     rng: Optional[jax.Array] = None,
     gru_params: Optional[Dict] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher-forced (optionally scheduled-sampling) scoring pass.
 
     raw_features: [B, R, num_features]; captions: [B, T] int ids.
     Returns (logits [B, T, V], attn [B, T, R]).
+
+    ``remat=True`` checkpoints the scan body (see
+    :func:`teacher_forced_hidden`); identical numerics, cheaper backward.
     """
+    if not (sample_prob > 0.0 and rng is not None):
+        hs, attn = teacher_forced_hidden(
+            params, raw_features, captions, gru_params=gru_params,
+            remat=remat,
+        )
+        logits = linear(params["fc"], hs)
+        return logits, attn
+
     features = encode_features(params, raw_features)
     h0 = init_hidden(params, features)
     embeds = embedding(params["embed"], captions)  # [B, T, E]
     B, T, E = embeds.shape
-
-    use_sampling = sample_prob > 0.0 and rng is not None
     zero_embed = jnp.zeros((B, E), embeds.dtype)
-    cell = params["gru"] if gru_params is None else gru_params
-
-    if not use_sampling:
-        # pure teacher forcing: logits never feed back into the loop, so
-        # the scan only carries the recurrence (attention + GRU, small
-        # matmuls) and the V-sized projection runs ONCE as a single
-        # [B*T, H] x [H, V] GEMM — the FLOPs-dominant op moves from 25
-        # skinny per-step matmuls onto one MXU-friendly one
-        def body(h, t):
-            word_embed = jnp.where(
-                t == 0, zero_embed, embeds[:, jnp.maximum(t - 1, 0)]
-            )
-            context, attn = bahdanau_attention(params["attention"], features, h)
-            x = jnp.concatenate([word_embed, context], axis=-1)
-            h = gru_cell(cell, x, h)
-            h = _extra_layers(params, h)
-            return h, (h, attn)
-
-        _, (hs, attn) = jax.lax.scan(body, h0, jnp.arange(T))
-        logits = linear(params["fc"], jnp.transpose(hs, (1, 0, 2)))
-        return logits, jnp.transpose(attn, (1, 0, 2))
-
-    step_keys = jax.random.split(rng, T)
     coins = jax.random.uniform(jax.random.fold_in(rng, T), (T,))
 
     def body(carry, xs):
@@ -178,7 +210,8 @@ def teacher_forced(
     # carry dtype must match the body's logits (bf16 under mixed precision)
     init_logits = jnp.zeros((B, V), params["fc"]["w"].dtype)
     (_, _), (logits, attn) = jax.lax.scan(
-        body, (h0, init_logits), (jnp.arange(T), coins)
+        jax.checkpoint(body) if remat else body,
+        (h0, init_logits), (jnp.arange(T), coins),
     )
     return jnp.transpose(logits, (1, 0, 2)), jnp.transpose(attn, (1, 0, 2))
 

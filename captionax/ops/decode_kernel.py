@@ -95,6 +95,53 @@ def _vocab_chunk(vp: int, target: int = 2560) -> int:
     return best
 
 
+def _select_aug(x, onehot_f, n_styles: int):
+    """Per-row weight-bank selection operand: [Rows, In] -> [Rows, S*In]
+    with block s equal to x on rows of style s and 0 elsewhere.  Built by
+    lane-axis concat (Mosaic rejects cross sublane/lane reshapes); the
+    matching weight operand stacks the S banks along the contraction axis,
+    so bank selection rides the MXU as one augmented matmul."""
+    return jnp.concatenate(
+        [x * onehot_f[:, s:s + 1].astype(x.dtype) for s in range(n_styles)],
+        axis=1,
+    )
+
+
+def _cell_core_multi(word, h, feats, att1, ua_w, ua_b, va,
+                     wih_aug, whh_aug, bih_s, bhh_s, onehot_f, hd: int,
+                     n_styles: int):
+    """_cell_core with a per-row GRU weight bank: attention is shared
+    (the hypernet generates only the GRU cell, hypernet_attention.py:68-99);
+    gi/gh select each row's theta via the augmented matmul; biases select
+    via a [Rows, S] x [S, 3H] matmul."""
+    cdt = feats.dtype
+    att2 = jnp.dot(h, ua_w, preferred_element_type=jnp.float32) + ua_b
+    e = jnp.tanh(att1 + att2[:, None, :].astype(cdt))
+    s = jnp.sum(e * va.astype(cdt)[None, None, :], axis=2).astype(jnp.float32)
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    w = jnp.exp(s)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    ctx = jnp.sum(w.astype(cdt)[:, :, None] * feats, axis=1).astype(
+        jnp.float32
+    )
+
+    x = jnp.concatenate([word, ctx], axis=1)
+    bih = jnp.dot(onehot_f, bih_s, preferred_element_type=jnp.float32)
+    bhh = jnp.dot(onehot_f, bhh_s, preferred_element_type=jnp.float32)
+    gi = jnp.dot(
+        _select_aug(x.astype(wih_aug.dtype), onehot_f, n_styles), wih_aug,
+        preferred_element_type=jnp.float32,
+    ) + bih
+    gh = jnp.dot(
+        _select_aug(h.astype(whh_aug.dtype), onehot_f, n_styles), whh_aug,
+        preferred_element_type=jnp.float32,
+    ) + bhh
+    r = jax.nn.sigmoid(gi[:, :hd] + gh[:, :hd])
+    z = jax.nn.sigmoid(gi[:, hd:2 * hd] + gh[:, hd:2 * hd])
+    n = jnp.tanh(gi[:, 2 * hd:] + r * gh[:, 2 * hd:])
+    return (1.0 - z) * n + z * h
+
+
 def _cell_core(word, h, feats, att1, ua_w, ua_b, va, wih_t, whh_t, bih, bhh,
                hd: int):
     """Attention + GRU for a [Rows] tile -> h_new [Rows, H] (f32).
@@ -306,6 +353,24 @@ def _pack_weights(decoder_params: Dict, gru_params: Optional[Dict],
     }
 
 
+def _pack_weight_bank(weights: Dict, thetas: Dict,
+                      weight_dtype=jnp.bfloat16) -> Dict:
+    """Stack S gru thetas (leading axis) into the augmented-matmul bank
+    layout consumed by _cell_core_multi; overrides the single-theta
+    entries of a ``_pack_weights`` dict in place."""
+    S = thetas["w_ih"].shape[0]
+    weights["wih_t"] = jnp.concatenate(
+        [thetas["w_ih"][s].T.astype(weight_dtype) for s in range(S)], axis=0
+    )  # [S*In, 3H]
+    weights["whh_t"] = jnp.concatenate(
+        [thetas["w_hh"][s].T.astype(weight_dtype) for s in range(S)], axis=0
+    )  # [S*H, 3H]
+    weights["bih"] = thetas["b_ih"].astype(jnp.float32)  # [S, 3H]
+    weights["bhh"] = thetas["b_hh"].astype(jnp.float32)
+    weights["n_styles"] = S
+    return weights
+
+
 def _prep_features(decoder_params, raw_features):
     """encode features + precompute att1 = W_a f + b_a and h0."""
     from captionax.models.layers import linear
@@ -382,14 +447,14 @@ def fused_greedy(
 # ======================================================================
 # beam kernel (k = 3)
 # ======================================================================
-def _beam_kernel(feats_ref, att1_ref, h0_ref,
+def _beam_kernel(feats_ref, att1_ref, h0_ref, style_ref,
                  emb_ref, ua_w_ref, ua_b_ref, va_ref,
                  wih_ref, whh_ref, bih_ref, bhh_ref, fcw_ref, fcb_ref,
                  seq_ref, score_ref, len_ref, found_ref,
                  h_scr, tok_scr, hist_scr, score_scr,
                  best_seq_scr, best_val_scr,
                  *, max_steps: int, hd: int, vp: int, end_id: int, k: int,
-                 n_valid: int, ablate: str = ""):
+                 n_valid: int, n_styles: int = 1, ablate: str = ""):
     rows = h0_ref.shape[0]          # images * k
     n_img = rows // k
     T = max_steps + 1
@@ -421,6 +486,14 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
     ua_w, ua_b, va = ua_w_ref[:], ua_b_ref[:], va_ref[:]
     wih_t, whh_t = wih_ref[:], whh_ref[:]
     bih, bhh = bih_ref[:], bhh_ref[:]
+    if n_styles > 1:
+        # per-row style one-hot, constant across steps (mixed-style batch)
+        onehot_f = (
+            style_ref[:, 0][:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (rows, n_styles), 1)
+        ).astype(jnp.float32)
+    else:
+        onehot_f = None
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)[:, 0]
     row_img = row_ids // k
@@ -443,6 +516,11 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref,
         h = h_scr[:]
         if "nocell" in ablate:   # profiling-only: skip attention + GRU
             h_new = h + word[:, :hd]
+        elif n_styles > 1:
+            h_new = _cell_core_multi(
+                word, h, feats_ref[:], att1_ref[:], ua_w, ua_b, va,
+                wih_t, whh_t, bih, bhh, onehot_f, hd, n_styles,
+            )
         else:
             h_new = _cell_core(
                 word, h, feats_ref[:], att1_ref[:], ua_w, ua_b, va,
@@ -611,9 +689,18 @@ def fused_beam_search(
     interpret: bool = False,
     f32: bool = False,
     ablate: str = "",
+    style_rows: Optional[jnp.ndarray] = None,
 ):
     """k=3 beam search, one fused kernel.  Returns a BeamResult-compatible
     tuple (tokens [B, max_steps+1], scores [B], found [B], lengths [B]).
+
+    Mixed-style batches: pass ``gru_params`` with a leading style axis
+    (S thetas, e.g. from synthesize_theta_batched over the S style
+    embeddings) plus ``style_rows`` [B] int32 in [0, S) — the whole theta
+    bank stays resident in VMEM and each row selects its style via an
+    augmented MXU matmul, so one kernel launch serves every style at once
+    (the reference can only decode batch-homogeneous styles; its collate
+    enforces one style per batch, data_loader.py:287-298).
 
     ``ablate`` is PROFILING-ONLY (benchmarks/kernel_ablate.py): a comma
     list of {noembed, nocell, nomm, notop3, nologz, nobook} that skips kernel
@@ -622,14 +709,16 @@ def fused_beam_search(
     from captionax.decode.search import BeamResult
 
     k = 3
-    if gru_params is not None and next(iter(gru_params.values())).ndim > 2:
-        raise NotImplementedError(
-            "fused_beam_search takes one theta per call (batch-homogeneous "
-            "style/domain, like the reference's collate); use "
-            "captionax.decode.beam_search for per-image batched weights"
+    multi = gru_params is not None and gru_params["w_ih"].ndim == 3
+    if multi and style_rows is None:
+        raise ValueError(
+            "gru_params has a leading style axis; pass style_rows [B] "
+            "(or index the thetas down to one style)"
         )
     cdt = jnp.float32 if f32 else jnp.bfloat16
-    w = _pack_weights(decoder_params, gru_params, cdt)
+    w = _pack_weights(decoder_params, None if multi else gru_params, cdt)
+    if multi:
+        w = _pack_weight_bank(w, gru_params, cdt)
     feats, att1, h0 = _prep_features(decoder_params, raw_features)
     feats = feats.astype(cdt)
     att1 = att1.astype(cdt)
@@ -643,15 +732,22 @@ def fused_beam_search(
         feats = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
         att1 = jnp.pad(att1, ((0, pad), (0, 0), (0, 0)))
         h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+    styles = (
+        jnp.zeros((B,), jnp.int32) if not multi
+        else jnp.asarray(style_rows, jnp.int32)
+    )
+    styles = jnp.pad(styles, (0, pad))[:, None]  # [n_img, 1]
     # expand to beam rows [n_img*k, ...]
     expand = lambda x: jnp.repeat(x, k, axis=0)
     feats_r, att1_r, h0_r = expand(feats), expand(att1), expand(h0)
+    styles_r = expand(styles)
 
     rows_blk = block_images * k
     grid = n_img // block_images
     kernel = functools.partial(
         _beam_kernel, max_steps=max_steps, hd=H, vp=w["vp"],
         end_id=end_id, k=k, n_valid=B, ablate=ablate,
+        n_styles=w.get("n_styles", 1),
     )
     rtile = lambda *shape: pl.BlockSpec(
         (rows_blk,) + shape, lambda i: (i,) + (0,) * len(shape),
@@ -667,7 +763,7 @@ def fused_beam_search(
         kernel,
         grid=(grid,),
         in_specs=[
-            rtile(R, F), rtile(R, H), rtile(H),
+            rtile(R, F), rtile(R, H), rtile(H), rtile(1),
             full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(),
         ],
@@ -688,7 +784,7 @@ def fused_beam_search(
         ],
         interpret=interpret,
     )(
-        feats_r, att1_r, h0_r,
+        feats_r, att1_r, h0_r, styles_r,
         w["emb"], w["ua_w"], w["ua_b"], w["va"],
         w["wih_t"], w["whh_t"], w["bih"], w["bhh"], w["fc_w"], w["fc_b"],
     )

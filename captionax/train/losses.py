@@ -24,6 +24,58 @@ def cross_entropy_loss(
     return (nll * mask).sum() / denom
 
 
+def fused_ce_from_hidden(
+    fc: dict,
+    hs: jnp.ndarray,
+    targets: jnp.ndarray,
+    pad_id: int = 0,
+    chunk_rows: int = 2048,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """``cross_entropy_loss(linear(fc, hs), targets)`` without ever
+    materializing the [B*T, V] logits (f32 ~1 GB at B=1024/T=25/V=9684).
+
+    Scans over row chunks: each step runs one [C, H] x [H, V] GEMM and
+    reduces it to (sum nll, count) immediately; with ``remat`` the
+    backward recomputes the chunk logits instead of saving them.  Same
+    value as the unfused loss (nll = logsumexp - target logit ==
+    -log_softmax[target]), same non-pad mean semantics
+    (/root/reference/hypernet_attention.py:183 ignore_index).
+    """
+    H = hs.shape[-1]
+    h2 = hs.reshape(-1, H)
+    t1 = targets.reshape(-1)
+    n = h2.shape[0]
+    c = min(chunk_rows, n)
+    n_pad = -(-n // c) * c
+    if n_pad != n:
+        h2 = jnp.pad(h2, ((0, n_pad - n), (0, 0)))
+        # padding rows get pad_id targets -> masked out of the mean
+        t1 = jnp.pad(t1, (0, n_pad - n), constant_values=pad_id)
+    w, b = fc["w"], fc["b"]
+
+    def body(acc, xs):
+        hc, tc = xs
+        logits = (
+            jnp.dot(hc, w, preferred_element_type=jnp.float32)
+            + b.astype(jnp.float32)
+        )
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, tc[:, None], axis=-1)[:, 0]
+        mask = (tc != pad_id).astype(jnp.float32)
+        return (
+            acc[0] + ((lse - tgt) * mask).sum(),
+            acc[1] + mask.sum(),
+        ), None
+
+    (num, den), _ = jax.lax.scan(
+        jax.checkpoint(body) if remat else body,
+        (jnp.float32(0.0), jnp.float32(0.0)),
+        (h2.reshape(-1, c, H), t1.reshape(-1, c)),
+    )
+    return num / jnp.maximum(den, 1.0)
+
+
 def label_smoothing_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

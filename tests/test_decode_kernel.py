@@ -159,3 +159,88 @@ class TestHypernetTheta:
         np.testing.assert_array_equal(
             np.asarray(got.tokens), np.asarray(ref.tokens)
         )
+
+
+class TestMixedStyleBeam:
+    """Theta-bank kernel: mixed-style batches decode in one launch and
+    must match both the per-image scan beam and per-style homogeneous
+    kernel calls exactly."""
+
+    def _make(self):
+        from captionax.models.hypernet import hypernet_init
+        from captionax.train.steps import synthesize_theta_batched
+
+        k = jax.random.split(jax.random.PRNGKey(31), 3)
+        params, raw = make(31, 0.6)
+        hn = hypernet_init(k[0], hyper_emb=E, input_dim=E + F, hidden_dim=H)
+        model = {"decoder": params, "hn": hn}
+        style_embeds = params["embed"][jnp.array([4, 3, 6])]
+        thetas = synthesize_theta_batched(model, style_embeds)
+        style_rows = jnp.array([0, 1, 2, 2, 1, 0], jnp.int32)
+        return params, raw, thetas, style_rows
+
+    def test_matches_per_image_scan_beam(self):
+        params, raw, thetas, style_rows = self._make()
+        got = fused_beam_search(
+            params, raw, gru_params=thetas, max_steps=8, block_images=2,
+            interpret=True, f32=True, style_rows=style_rows,
+        )
+        theta_img = jax.tree_util.tree_map(lambda t: t[style_rows], thetas)
+        ref = beam_search(params, raw, k=3, max_steps=8, gru_params=theta_img)
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.found), np.asarray(ref.found)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.lengths), np.asarray(ref.lengths)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(ref.scores), rtol=1e-5
+        )
+
+    def test_matches_homogeneous_calls(self):
+        params, raw, thetas, style_rows = self._make()
+        got = fused_beam_search(
+            params, raw, gru_params=thetas, max_steps=8, block_images=2,
+            interpret=True, f32=True, style_rows=style_rows,
+        )
+        for s in range(3):
+            idx = np.where(np.asarray(style_rows) == s)[0]
+            ths = jax.tree_util.tree_map(lambda t: t[s], thetas)
+            solo = fused_beam_search(
+                params, raw[idx], gru_params=ths, max_steps=8,
+                block_images=2, interpret=True, f32=True,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got.tokens)[idx], np.asarray(solo.tokens)
+            )
+
+    def test_batched_theta_requires_style_rows(self):
+        params, raw, thetas, _ = self._make()
+        with pytest.raises(ValueError, match="style_rows"):
+            fused_beam_search(
+                params, raw, gru_params=thetas, max_steps=4,
+                block_images=2, interpret=True, f32=True,
+            )
+
+
+class TestScanBeamBatchedThetaKeyOrder:
+    def test_tree_map_rebuilt_theta_expands(self):
+        """Regression: jax tree ops rebuild theta dicts key-sorted (b_hh
+        first), so batched-theta detection must check w_ih by name."""
+        from captionax.models.hypernet import hypernet_apply, hypernet_init
+
+        params, raw = make(33, 0.5)
+        hn = hypernet_init(jax.random.PRNGKey(11), hyper_emb=E,
+                           input_dim=E + F, hidden_dim=H)
+        theta = hypernet_apply(hn, jnp.ones((E,)) * 0.1)
+        stacked = jax.tree_util.tree_map(
+            lambda t: jnp.stack([t] * B), theta
+        )  # key-sorted dict with leading [B]
+        ref = beam_search(params, raw, k=3, max_steps=8, gru_params=theta)
+        got = beam_search(params, raw, k=3, max_steps=8, gru_params=stacked)
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens)
+        )
