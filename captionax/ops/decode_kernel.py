@@ -263,12 +263,12 @@ def _embed_lookup(tok, emb_ref, vp: int):
 # ======================================================================
 # greedy kernel
 # ======================================================================
-def _greedy_kernel(feats_ref, att1_ref, h0_ref,
+def _greedy_kernel(feats_ref, att1_ref, h0_ref, style_ref,
                    emb_ref, ua_w_ref, ua_b_ref, va_ref,
                    wih_ref, whh_ref, bih_ref, bhh_ref, fcw_ref, fcb_ref,
                    out_ref, h_scr, tok_scr, done_scr,
                    *, max_len: int, hd: int, vp: int, end_id: int,
-                   n_valid: int):
+                   n_valid: int, n_styles: int = 1):
     rows = h0_ref.shape[0]
     h_scr[:] = h0_ref[:]
     tok_scr[:] = jnp.zeros((rows, 1), jnp.int32)
@@ -282,6 +282,11 @@ def _greedy_kernel(feats_ref, att1_ref, h0_ref,
     ua_w, ua_b, va = ua_w_ref[:], ua_b_ref[:], va_ref[:]
     wih_t, whh_t = wih_ref[:], whh_ref[:]
     bih, bhh = bih_ref[:], bhh_ref[:]
+    if n_styles > 1:
+        onehot_f = (
+            style_ref[:, 0][:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (rows, n_styles), 1)
+        ).astype(jnp.float32)
 
     out_ref[:] = jnp.zeros((rows, max_len), jnp.int32)
 
@@ -290,10 +295,16 @@ def _greedy_kernel(feats_ref, att1_ref, h0_ref,
         done = done_scr[:, 0]
         word = _embed_lookup(tok, emb_ref, vp)
         h = h_scr[:]
-        h_new = _cell_core(
-            word, h, feats_ref[:], att1_ref[:], ua_w, ua_b, va,
-            wih_t, whh_t, bih, bhh, hd,
-        )
+        if n_styles > 1:
+            h_new = _cell_core_multi(
+                word, h, feats_ref[:], att1_ref[:], ua_w, ua_b, va,
+                wih_t, whh_t, bih, bhh, onehot_f, hd, n_styles,
+            )
+        else:
+            h_new = _cell_core(
+                word, h, feats_ref[:], att1_ref[:], ua_w, ua_b, va,
+                wih_t, whh_t, bih, bhh, hd,
+            )
         nxt = _chunked_logits_top1(h_new, fcw_ref, fcb_ref, vp)
         emit = jnp.where(done == 1, 0, nxt)
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, max_len), 1)
@@ -394,10 +405,21 @@ def fused_greedy(
     block_rows: int = 64,
     interpret: bool = False,
     f32: bool = False,
+    style_rows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Greedy decode, one fused kernel.  Returns ids [B, max_len]."""
+    """Greedy decode, one fused kernel.  Returns ids [B, max_len].
+
+    Mixed-style batches: pass ``gru_params`` with a leading style axis plus
+    ``style_rows`` [B] (see fused_beam_search)."""
+    multi = gru_params is not None and gru_params["w_ih"].ndim == 3
+    if multi and style_rows is None:
+        raise ValueError(
+            "gru_params has a leading style axis; pass style_rows [B]"
+        )
     cdt = jnp.float32 if f32 else jnp.bfloat16
-    w = _pack_weights(decoder_params, gru_params, cdt)
+    w = _pack_weights(decoder_params, None if multi else gru_params, cdt)
+    if multi:
+        w = _pack_weight_bank(w, gru_params, cdt)
     feats, att1, h0 = _prep_features(decoder_params, raw_features)
     feats = feats.astype(cdt)
     att1 = att1.astype(cdt)
@@ -409,11 +431,16 @@ def fused_greedy(
         feats = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
         att1 = jnp.pad(att1, ((0, pad), (0, 0), (0, 0)))
         h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+    styles = (
+        jnp.zeros((B,), jnp.int32) if not multi
+        else jnp.asarray(style_rows, jnp.int32)
+    )
+    styles = jnp.pad(styles, (0, pad))[:, None]
     grid = rows // block_rows
 
     kernel = functools.partial(
         _greedy_kernel, max_len=max_len, hd=H, vp=w["vp"], end_id=end_id,
-        n_valid=B,
+        n_valid=B, n_styles=w.get("n_styles", 1),
     )
     tile = lambda *shape: pl.BlockSpec(
         (block_rows,) + shape, lambda i: (i,) + (0,) * len(shape),
@@ -424,7 +451,7 @@ def fused_greedy(
         kernel,
         grid=(grid,),
         in_specs=[
-            tile(R, F), tile(R, H), tile(H),
+            tile(R, F), tile(R, H), tile(H), tile(1),
             full(), full(), full(), full(),
             full(), full(), full(), full(), full(), full(),
         ],
@@ -437,7 +464,7 @@ def fused_greedy(
         ],
         interpret=interpret,
     )(
-        feats, att1, h0,
+        feats, att1, h0, styles,
         w["emb"], w["ua_w"], w["ua_b"], w["va"],
         w["wih_t"], w["whh_t"], w["bih"], w["bhh"], w["fc_w"], w["fc_b"],
     )

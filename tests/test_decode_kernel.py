@@ -225,6 +225,19 @@ class TestMixedStyleBeam:
                 block_images=2, interpret=True, f32=True,
             )
 
+    def test_greedy_mixed_style(self):
+        from captionax.decode.search import greedy
+        from captionax.ops.decode_kernel import fused_greedy
+
+        params, raw, thetas, style_rows = self._make()
+        got = fused_greedy(
+            params, raw, gru_params=thetas, max_len=10, block_rows=3,
+            interpret=True, f32=True, style_rows=style_rows,
+        )
+        theta_img = jax.tree_util.tree_map(lambda t: t[style_rows], thetas)
+        ref = greedy(params, raw, max_len=10, gru_params=theta_img)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
 
 class TestScanBeamBatchedThetaKeyOrder:
     def test_tree_map_rebuilt_theta_expands(self):
