@@ -26,9 +26,15 @@ class PipelinedDecoder:
         self.decode_fn = decode_fn
 
     def map(self, feature_batches: Iterable) -> Iterator:
+        """Stream items are either ``features`` arrays or — for
+        mixed-style servers — ``(features, style_rows)`` tuples, splatted
+        into ``decode_fn``."""
         pending = None
         for feats in feature_batches:
-            result = self.decode_fn(feats)  # async dispatch
+            if isinstance(feats, tuple):
+                result = self.decode_fn(*feats)  # async dispatch
+            else:
+                result = self.decode_fn(feats)
             if pending is not None:
                 yield jax.tree_util.tree_map(np.asarray, pending)
             pending = result
@@ -77,25 +83,62 @@ def make_beam_server(
     packed: bool = False,
 ) -> PipelinedDecoder:
     """Ready-made styled-caption beam server.  With ``packed=True`` the
-    stream yields single int32 arrays (use :func:`unpack_beam_result`)."""
+    stream yields single int32 arrays (use :func:`unpack_beam_result`).
+
+    Mixed-style batches: pass ``gru_params`` as a theta BANK with a
+    leading style axis (from ``synthesize_theta_batched`` over the S
+    style embeddings).  The stream then takes ``(features, style_rows)``
+    tuples with ``style_rows`` [B] int32 in [0, S) — one kernel launch
+    serves every style at once (the reference can only decode
+    batch-homogeneous styles, data_loader.py:287-298).
+
+    Synthesize the bank EAGERLY (its own dispatch), as this function's
+    callers do: fusing hypernet synthesis into the same jit as the
+    Pallas kernel crashes the relay's AOT compile helper at production
+    dims (benchmarks/README.md, negative results).  The bank changes
+    only when the hypernet or style set changes, so this costs one
+    dispatch per server build, not per batch."""
+    multi = gru_params is not None and gru_params["w_ih"].ndim == 3
     if use_fused:
         from captionax.ops.decode_kernel import fused_beam_search
 
-        def decode(f):
-            return fused_beam_search(
-                decoder_params, f, gru_params=gru_params, max_steps=max_steps
-            )
+        if multi:
+            def decode(f, rows):
+                return fused_beam_search(
+                    decoder_params, f, gru_params=gru_params,
+                    max_steps=max_steps, style_rows=rows,
+                )
+        else:
+            def decode(f):
+                return fused_beam_search(
+                    decoder_params, f, gru_params=gru_params,
+                    max_steps=max_steps,
+                )
     else:
         from captionax.decode.search import beam_search
 
-        def decode(f):
-            return beam_search(
-                decoder_params, f, k=k, max_steps=max_steps,
-                gru_params=gru_params,
-            )
+        if multi:
+            def decode(f, rows):
+                # scan path consumes per-image theta rows, not a bank
+                theta = jax.tree_util.tree_map(
+                    lambda t: t[rows], gru_params
+                )
+                return beam_search(
+                    decoder_params, f, k=k, max_steps=max_steps,
+                    gru_params=theta,
+                )
+        else:
+            def decode(f):
+                return beam_search(
+                    decoder_params, f, k=k, max_steps=max_steps,
+                    gru_params=gru_params,
+                )
 
     if packed:
-        fn = jax.jit(lambda f: pack_beam_result(decode(f)))
+        if multi:
+            fn = jax.jit(lambda f, r: pack_beam_result(decode(f, r)))
+        else:
+            fn = jax.jit(lambda f: pack_beam_result(decode(f)))
     else:
         fn = jax.jit(decode)
     return PipelinedDecoder(fn)
@@ -142,21 +185,38 @@ def make_sharded_beam_decode(
 
     from captionax.ops.decode_kernel import fused_beam_search
 
-    def local_decode(params, theta, feats):
-        return fused_beam_search(
-            params, feats, gru_params=theta, max_steps=max_steps,
-            block_images=block_images, interpret=interpret, f32=f32,
-        )
+    multi = gru_params is not None and gru_params["w_ih"].ndim == 3
+    if multi:
+        # theta bank replicated, per-row style ids sharded with the batch:
+        # decode(features, style_rows)
+        def local_decode(params, theta, feats, rows):
+            return fused_beam_search(
+                params, feats, gru_params=theta, max_steps=max_steps,
+                block_images=block_images, interpret=interpret, f32=f32,
+                style_rows=rows,
+            )
+
+        in_specs = (P(), P(), P("data"), P("data"))
+    else:
+        def local_decode(params, theta, feats):
+            return fused_beam_search(
+                params, feats, gru_params=theta, max_steps=max_steps,
+                block_images=block_images, interpret=interpret, f32=f32,
+            )
+
+        in_specs = (P(), P(), P("data"))
 
     sharded = jax.shard_map(
         local_decode,
         mesh=mesh,
-        in_specs=(P(), P(), P("data")),
+        in_specs=in_specs,
         out_specs=P("data"),
         check_vma=False,  # pallas_call is opaque to varying-manual-axes checks
     )
     fn = partial(sharded, decoder_params, gru_params)
     if packed:
+        if multi:
+            return jax.jit(lambda feats, rows: pack_beam_result(fn(feats, rows)))
         return jax.jit(lambda feats: pack_beam_result(fn(feats)))
     return jax.jit(fn)
 
@@ -169,18 +229,34 @@ def make_greedy_server(
 ) -> PipelinedDecoder:
     """Greedy-decode counterpart of :func:`make_beam_server` (the
     reference's greedy_search/infer path, models/decoderlstm.py:138-184);
-    the stream yields int32 token arrays [B, max_len]."""
+    the stream yields int32 token arrays [B, max_len].  A theta-bank
+    ``gru_params`` makes the stream take ``(features, style_rows)``
+    tuples, exactly like the beam server."""
+    multi = gru_params is not None and gru_params["w_ih"].ndim == 3
     if use_fused:
         from captionax.ops.decode_kernel import fused_greedy
 
-        def decode(f):
-            return fused_greedy(decoder_params, f, gru_params=gru_params,
-                                max_len=max_len)
+        if multi:
+            def decode(f, rows):
+                return fused_greedy(decoder_params, f, gru_params=gru_params,
+                                    max_len=max_len, style_rows=rows)
+        else:
+            def decode(f):
+                return fused_greedy(decoder_params, f, gru_params=gru_params,
+                                    max_len=max_len)
     else:
         from captionax.decode.search import greedy
 
-        def decode(f):
-            return greedy(decoder_params, f, max_len=max_len,
-                          gru_params=gru_params)
+        if multi:
+            def decode(f, rows):
+                theta = jax.tree_util.tree_map(
+                    lambda t: t[rows], gru_params
+                )
+                return greedy(decoder_params, f, max_len=max_len,
+                              gru_params=theta)
+        else:
+            def decode(f):
+                return greedy(decoder_params, f, max_len=max_len,
+                              gru_params=gru_params)
 
     return PipelinedDecoder(jax.jit(decode))

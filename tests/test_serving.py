@@ -63,6 +63,92 @@ class TestPipelinedDecoder:
         np.testing.assert_allclose(p.scores, d.scores, atol=0)
 
 
+def _theta_bank(key, n=3):
+    """Stack n independently-initialized GRU thetas into a style bank."""
+    import jax.tree_util as jtu
+
+    thetas = [
+        dec.attention_gru_init(k, NF, F, E, H, V)["gru"]
+        for k in jax.random.split(key, n)
+    ]
+    return jtu.tree_map(lambda *xs: jnp.stack(xs), *thetas)
+
+
+class TestMixedStyleServing:
+    """Theta-bank servers: the stream takes (features, style_rows) and
+    must match per-image-theta decoding."""
+
+    def test_beam_server_mixed(self):
+        from captionax.decode import beam_search
+
+        params = dec.attention_gru_init(jax.random.PRNGKey(0), NF, F, E, H, V)
+        params["fc"]["b"] = params["fc"]["b"].at[2].add(1.0)
+        bank = _theta_bank(jax.random.PRNGKey(1))
+        batches = [
+            (jax.random.normal(jax.random.PRNGKey(10 + i), (B, R, NF)),
+             jnp.asarray([i % 3, (i + 1) % 3, 2, 0][:B], jnp.int32))
+            for i in range(3)
+        ]
+        srv = make_beam_server(params, gru_params=bank, max_steps=10,
+                               use_fused=False)
+        for (f, rows), out in zip(batches, srv.map(batches)):
+            theta = jax.tree_util.tree_map(lambda t: t[rows], bank)
+            ref = beam_search(params, f, k=3, max_steps=10, gru_params=theta)
+            np.testing.assert_array_equal(out.tokens, np.asarray(ref.tokens))
+
+    def test_greedy_server_mixed(self):
+        from captionax.decode.search import greedy
+        from captionax.decode.serving import make_greedy_server
+
+        params = dec.attention_gru_init(jax.random.PRNGKey(2), NF, F, E, H, V)
+        bank = _theta_bank(jax.random.PRNGKey(3))
+        f = jax.random.normal(jax.random.PRNGKey(4), (B, R, NF))
+        rows = jnp.asarray([0, 2, 1, 2][:B], jnp.int32)
+        srv = make_greedy_server(params, gru_params=bank, max_len=10,
+                                 use_fused=False)
+        out = next(iter(srv.map([(f, rows)])))
+        theta = jax.tree_util.tree_map(lambda t: t[rows], bank)
+        ref = greedy(params, f, max_len=10, gru_params=theta)
+        np.testing.assert_array_equal(out, np.asarray(ref))
+
+    def test_sharded_mixed_matches_single_device(self):
+        assert len(jax.devices()) == 8
+        from captionax.decode.serving import (
+            make_sharded_beam_decode,
+            unpack_beam_result,
+        )
+        from captionax.ops.decode_kernel import fused_beam_search
+        from captionax.parallel.mesh import make_mesh
+
+        params = dec.attention_gru_init(jax.random.PRNGKey(5), NF, F, E, H, V)
+        params["fc"]["b"] = params["fc"]["b"].at[2].add(0.4)
+        bank = _theta_bank(jax.random.PRNGKey(6))
+        feats = jax.random.normal(jax.random.PRNGKey(7), (16, R, NF))
+        rows = jnp.asarray(np.arange(16) % 3, jnp.int32)
+        ref = fused_beam_search(
+            params, feats, gru_params=bank, max_steps=8, block_images=2,
+            interpret=True, f32=True, style_rows=rows,
+        )
+        mesh = make_mesh()
+        decode = make_sharded_beam_decode(
+            mesh, params, gru_params=bank, max_steps=8, block_images=2,
+            interpret=True, f32=True,
+        )
+        got = decode(feats, rows)
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.found), np.asarray(ref.found)
+        )
+        packed = PipelinedDecoder(make_sharded_beam_decode(
+            mesh, params, gru_params=bank, max_steps=8, block_images=2,
+            interpret=True, f32=True, packed=True,
+        ))
+        up = unpack_beam_result(next(iter(packed.map([(feats, rows)]))))
+        np.testing.assert_array_equal(up.tokens, np.asarray(ref.tokens))
+
+
 class TestProfilerTrace:
     def test_trace_writes_files(self, tmp_path):
         from captionax.core.runtime import trace
