@@ -149,7 +149,7 @@ def make_sharded_beam_decode(
     decoder_params,
     gru_params=None,
     max_steps: int = 50,
-    block_images: int = 24,
+    block_images: Optional[int] = None,
     interpret: bool = False,
     f32: bool = False,
     packed: bool = False,

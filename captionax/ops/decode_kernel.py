@@ -712,7 +712,7 @@ def fused_beam_search(
     gru_params: Optional[Dict] = None,
     max_steps: int = 50,
     end_id: int = 2,
-    block_images: int = 24,
+    block_images: Optional[int] = None,
     interpret: bool = False,
     f32: bool = False,
     ablate: str = "",
@@ -720,6 +720,11 @@ def fused_beam_search(
 ):
     """k=3 beam search, one fused kernel.  Returns a BeamResult-compatible
     tuple (tokens [B, max_steps+1], scores [B], found [B], lengths [B]).
+
+    ``block_images`` defaults to the largest tile that fits the 16 MB
+    scoped-VMEM ceiling at production dims: 24 single-style, 16 for
+    mixed-style theta banks (the S-wide augmented weight banks and
+    per-row selection operands cost ~0.6 MB extra at 24, measured OOM).
 
     Mixed-style batches: pass ``gru_params`` with a leading style axis
     (S thetas, e.g. from synthesize_theta_batched over the S style
@@ -742,6 +747,8 @@ def fused_beam_search(
             "gru_params has a leading style axis; pass style_rows [B] "
             "(or index the thetas down to one style)"
         )
+    if block_images is None:
+        block_images = 16 if multi else 24
     cdt = jnp.float32 if f32 else jnp.bfloat16
     w = _pack_weights(decoder_params, None if multi else gru_params, cdt)
     if multi:
