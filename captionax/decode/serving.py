@@ -93,11 +93,12 @@ def make_beam_server(
     batch-homogeneous styles, data_loader.py:287-298).
 
     Synthesize the bank EAGERLY (its own dispatch), as this function's
-    callers do: fusing hypernet synthesis into the same jit as the
-    Pallas kernel crashes the relay's AOT compile helper at production
-    dims (benchmarks/README.md, negative results).  The bank changes
-    only when the hypernet or style set changes, so this costs one
-    dispatch per server build, not per batch."""
+    callers do: fusing the BATCHED (vmapped) hypernet synthesis into the
+    same jit as the Pallas kernel crashes the relay's AOT compile helper
+    at production dims (benchmarks/README.md, negative results;
+    single-style synthesize_theta fuses fine).  The bank changes only
+    when the hypernet or style set changes, so this costs one dispatch
+    per server build, not per batch."""
     multi = gru_params is not None and gru_params["w_ih"].ndim == 3
     if use_fused:
         from captionax.ops.decode_kernel import fused_beam_search

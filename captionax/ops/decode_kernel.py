@@ -402,7 +402,7 @@ def fused_greedy(
     gru_params: Optional[Dict] = None,
     max_len: int = 20,
     end_id: int = 2,
-    block_rows: int = 64,
+    block_rows: Optional[int] = None,
     interpret: bool = False,
     f32: bool = False,
     style_rows: Optional[jnp.ndarray] = None,
@@ -410,11 +410,22 @@ def fused_greedy(
     """Greedy decode, one fused kernel.  Returns ids [B, max_len].
 
     Mixed-style batches: pass ``gru_params`` with a leading style axis plus
-    ``style_rows`` [B] (see fused_beam_search)."""
+    ``style_rows`` [B] (see fused_beam_search).  ``block_rows`` defaults
+    to the fastest measured tile at production dims (B=1024, V=9684):
+    32 single-style (+19% over the old 64), 48 mixed — smaller tiles
+    exit the decode loop earlier per-tile and fit VMEM with headroom."""
     multi = gru_params is not None and gru_params["w_ih"].ndim == 3
     if multi and style_rows is None:
         raise ValueError(
             "gru_params has a leading style axis; pass style_rows [B]"
+        )
+    if block_rows is None:
+        block_rows = 48 if multi else 32
+    if (not interpret and raw_features.shape[0] > block_rows
+            and block_rows % 8):
+        raise ValueError(
+            f"block_rows={block_rows} must divide by 8 for multi-tile "
+            "launches (Mosaic sublane tile)"
         )
     cdt = jnp.float32 if f32 else jnp.bfloat16
     w = _pack_weights(decoder_params, None if multi else gru_params, cdt)
@@ -749,6 +760,16 @@ def fused_beam_search(
         )
     if block_images is None:
         block_images = 16 if multi else 24
+    B_in = raw_features.shape[0]
+    if (not interpret and B_in > block_images and (block_images * k) % 8):
+        # Mosaic needs the sublane tile to divide by 8 unless the tile IS
+        # the whole array (single-tile grid) — fail with a clear message
+        # instead of the lowering's block-shape error (e.g. block 20).
+        raise ValueError(
+            f"block_images={block_images} gives {block_images * k} beam rows "
+            "per tile; multi-tile launches need the row tile to divide by 8 "
+            "— use a multiple of 8 images (e.g. 16, 24, 32)"
+        )
     cdt = jnp.float32 if f32 else jnp.bfloat16
     w = _pack_weights(decoder_params, None if multi else gru_params, cdt)
     if multi:
