@@ -120,7 +120,14 @@ class ConceptualCaptionsData:
         with_images: bool = True,
     ):
         """Domain-homogeneous batches: dict(images?, captions [B,T],
-        lengths [B], domain str)."""
+        lengths [B], domain str).
+
+        With ``drop_remainder`` (training), a domain's tail chunk is
+        FILLED by resampling from the same domain instead of dropped —
+        the reference's stateful sampler likewise resamples within the
+        fixed domain to fill every batch (cc_dataloader.py:75-158), so
+        domains smaller than ``batch_size`` still train (oversampled)
+        rather than silently contributing zero batches."""
         rng = random.Random(seed)
         allowed = set(indices) if indices is not None else None
         all_batches: List[Tuple[str, List[int]]] = []
@@ -129,9 +136,8 @@ class ConceptualCaptionsData:
             rng.shuffle(idxs)
             for s in range(0, len(idxs), batch_size):
                 chunk = idxs[s : s + batch_size]
-                if len(chunk) < batch_size:
-                    if drop_remainder:
-                        continue
+                if len(chunk) < batch_size and drop_remainder:
+                    chunk = chunk + rng.choices(idxs, k=batch_size - len(chunk))
                 all_batches.append((dom, chunk))
         rng.shuffle(all_batches)
         for dom, chunk in all_batches:

@@ -214,6 +214,13 @@ class CaptionTrainer:
                          "lr": get_lr(self.state), "epoch": epoch},
                         step=self.global_step,
                     )
+            if n == 0:
+                raise RuntimeError(
+                    f"epoch {epoch} produced ZERO training batches — "
+                    "misconfigured data (e.g. batch_size larger than every "
+                    "domain/style group, empty caption file, or an "
+                    "over-restrictive index split)"
+                )
             epoch_metrics = {
                 "epoch": epoch,
                 "train_loss_epoch": loss_sum / max(n, 1),

@@ -106,6 +106,26 @@ class TestCC:
         assert extract_domain("https://www.alamy.com/foo.jpg") == "alamy"
         assert extract_domain("http://img.thesun.co.uk/x.jpg") == "thesun"
 
+    @needs_ref
+    def test_batch_larger_than_domain_fills_by_resampling(self, ref_vocab):
+        """batch_size above every domain's size must still yield full
+        homogeneous batches (reference resamples within the domain,
+        cc_dataloader.py:75-158) — a silent zero-batch epoch regressed
+        this once."""
+        data = ConceptualCaptionsData(
+            load_cc_captions(CC)[:500], ref_vocab, image_loader=None
+        )
+        biggest = max(len(v) for v in data.by_domain.values())
+        bs = biggest + 37
+        batches = list(data.batches(batch_size=bs, with_images=False))
+        assert batches, "no batches despite drop_remainder fill"
+        for b in batches:
+            assert b["captions"].shape[0] == bs
+            dom_rows = {data.rows[i][2] for i in b["indices"]}
+            assert dom_rows == {b["domain"]}
+        # every domain still represented
+        assert {b["domain"] for b in batches} == set(data.by_domain)
+
 
 class TestDomainEmbedders:
     @needs_ref
