@@ -121,9 +121,14 @@ def teacher_forced_hidden(
     captions: jnp.ndarray,
     gru_params: Optional[Dict] = None,
     remat: bool = False,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The pure-teacher-forcing recurrence WITHOUT the vocab projection:
     -> (hs [B, T, H], attn [B, T, R]).
+
+    ``unroll``: lax.scan unroll factor — the per-iteration matmuls are
+    tiny ([B,E+F]x[E+F,3H]) so XLA's per-step loop overhead is a real
+    cost; unrolling lets it pipeline/fuse across steps.
 
     Logits never feed back into the loop under pure TF, so the scan only
     carries the recurrence (attention + GRU, small matmuls); the V-sized
@@ -155,7 +160,8 @@ def teacher_forced_hidden(
         return h, (h, attn)
 
     _, (hs, attn) = jax.lax.scan(
-        jax.checkpoint(body) if remat else body, h0, jnp.arange(T)
+        jax.checkpoint(body) if remat else body, h0, jnp.arange(T),
+        unroll=unroll,
     )
     return jnp.transpose(hs, (1, 0, 2)), jnp.transpose(attn, (1, 0, 2))
 

@@ -75,7 +75,7 @@ def _tf_logits(decoder_params, batch, sample_prob=0.0, rng=None,
 
 
 def _tf_ce(decoder_params, batch, pad_id, gru_params=None, bf16=False,
-           remat=True):
+           remat=True, unroll=1):
     """Pure-teacher-forced CE via the fused chunked loss: the recurrence
     scan emits [B,T,H] hidden states and fused_ce_from_hidden reduces them
     without materializing [B*T,V] logits.  Value identical to
@@ -87,7 +87,7 @@ def _tf_ce(decoder_params, batch, pad_id, gru_params=None, bf16=False,
         features = features.astype(jnp.bfloat16)
     hs, _ = dec.teacher_forced_hidden(
         decoder_params, features, batch["captions"], gru_params=gru_params,
-        remat=remat,
+        remat=remat, unroll=unroll,
     )
     return fused_ce_from_hidden(
         decoder_params["fc"], hs, batch["captions"], pad_id
@@ -96,13 +96,14 @@ def _tf_ce(decoder_params, batch, pad_id, gru_params=None, bf16=False,
 
 # ------------------------------------------------------------- plain GRU
 def make_gru_steps(tx, pad_id: int = 0, bf16: bool = False,
-                   remat: bool = True):
+                   remat: bool = True, unroll: int = 1):
     """``remat`` checkpoints the decode scan in the train loss (identical
     numerics, backward recomputes the attention step instead of saving
     [B,R,H] residuals — measured ~11 ms of the 84 ms f32 step at B=1024)."""
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
-            return _tf_ce(params, batch, pad_id, bf16=bf16, remat=remat)
+            return _tf_ce(params, batch, pad_id, bf16=bf16, remat=remat,
+                          unroll=unroll)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads, tx)
@@ -143,7 +144,8 @@ def synthesize_theta_batched(params, style_embeds):
 
 def make_hypernet_steps(tx, pad_id: int = 0,
                         embed_fn: Callable = style_token_embed,
-                        bf16: bool = False, remat: bool = True):
+                        bf16: bool = False, remat: bool = True,
+                        unroll: int = 1):
     """``embed_fn(params, batch) -> style/domain embedding`` selects the
     conditioning source: vocab style tokens (FlickrStyle) or a
     DomainEmbedder projection reading batch['domain_value'] (CC).
@@ -153,7 +155,8 @@ def make_hypernet_steps(tx, pad_id: int = 0,
         def loss_fn(params):
             theta = hypernet_apply(params["hn"], embed_fn(params, batch))
             return _tf_ce(params["decoder"], batch, pad_id,
-                          gru_params=theta, bf16=bf16, remat=remat)
+                          gru_params=theta, bf16=bf16, remat=remat,
+                          unroll=unroll)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads, tx)
