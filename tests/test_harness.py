@@ -148,6 +148,21 @@ class TestStreamingCC:
             assert b["captions"].shape == (4, 10)
             assert b["domain"] in ("alamy", "shutterstock")
 
+    def test_batch_larger_than_domain_fills(self, tiny_vocab):
+        """Domains smaller than batch_size must fill by resampling, like
+        ConceptualCaptionsData.batches (reference cc_dataloader.py:75-158)."""
+        from captionax.data.cc_stream import StreamingCC
+
+        rows = [(f"a dog runs {i}", f"http://x/{i}.jpg", "alamy")
+                for i in range(3)]
+        rows += [(f"a cat sits {i}", f"http://y/{i}.jpg", "shutterstock")
+                 for i in range(5)]
+        data = StreamingCC(rows, tiny_vocab, fetcher=None, max_len=10)
+        batches = list(data.batches(batch_size=8))
+        assert {b["domain"] for b in batches} == {"alamy", "shutterstock"}
+        for b in batches:
+            assert b["captions"].shape[0] == 8
+
     def test_failing_fetcher_falls_back(self, tiny_vocab, tmp_path):
         from captionax.data.cc_stream import FALLBACK_CAPTION, StreamingCC
 
