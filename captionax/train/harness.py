@@ -107,11 +107,13 @@ class CaptionTrainer:
         self._embed_fn = embed_fn
         if kind == "gru":
             train_step, eval_step = make_gru_steps(
-                self.tx, bf16=config.bf16_compute
+                self.tx, bf16=config.bf16_compute,
+                unroll=config.scan_unroll,
             )
         else:
             train_step, eval_step = make_hypernet_steps(
-                self.tx, embed_fn=embed_fn, bf16=config.bf16_compute
+                self.tx, embed_fn=embed_fn, bf16=config.bf16_compute,
+                unroll=config.scan_unroll,
             )
         if mesh is not None:
             self._train_step = None  # jitted lazily with example batch
