@@ -43,6 +43,11 @@ def main(argv=None):
     parser = make_parser(__doc__)
     parser.add_argument("--images", type=str, required=True,
                         help="image file or directory")
+    parser.add_argument("--requests", type=str, default="",
+                        help="JSONL of {'image': name, 'style': s} request "
+                             "rows — serves arbitrary per-image styles in "
+                             "ONE mixed-style stream (theta bank + "
+                             "style_rows) instead of one pass per style")
     parser.add_argument("--out", type=str, default="captions.jsonl")
     parser.add_argument("--kind", type=str, default="hypernet",
                         choices=["gru", "hypernet"])
@@ -94,6 +99,10 @@ def main(argv=None):
     use_fused = (not args.no_fused
                  and jax.devices()[0].platform != "cpu")
     decoder = params["decoder"] if args.kind == "hypernet" else params
+
+    if args.requests:
+        return _serve_requests(args, train_cfg, params, decoder, vocab,
+                               encode, use_fused)
 
     # ONE jitted decode with theta as a traced argument: all styles and
     # all (padded) chunks share a single remote compile (~30 s-10 min
@@ -165,6 +174,121 @@ def main(argv=None):
                     n_out += 1
     print(f"wrote {n_out} captions for {len(files)} images "
           f"x {len(styles)} styles -> {args.out}")
+    return n_out
+
+
+def _serve_requests(args, train_cfg, params, decoder, vocab, encode,
+                    use_fused):
+    """Mixed-style request serving: JSONL rows {'image', 'style'} decode
+    in ONE stream — the theta bank (synthesized in its OWN dispatch, see
+    captionax/decode/serving.py) stays VMEM-resident and each row picks
+    its style, where the reference could only run one style per batch
+    (data_loader.py:287-298)."""
+    import jax
+    import jax.numpy as jnp
+
+    from captionax.data.native_image import load_paths_batch
+    from captionax.decode.serving import (
+        PipelinedDecoder,
+        pack_beam_result,
+        unpack_beam_result,
+    )
+    from captionax.eval.metrics import ids_to_text
+    from captionax.train.steps import synthesize_theta_batched
+
+    if args.kind != "hypernet":
+        raise SystemExit("--requests needs --kind hypernet "
+                         "(per-request styles come from the hypernet)")
+    with open(args.requests) as f:
+        reqs = [json.loads(line) for line in f if line.strip()]
+    if not reqs:
+        raise SystemExit(f"no request rows in {args.requests}")
+    styles = sorted({r["style"] for r in reqs})
+    sid = {s: i for i, s in enumerate(styles)}
+    base = args.images if os.path.isdir(args.images) else \
+        os.path.dirname(args.images)
+
+    def path_of(name):
+        return name if os.path.isabs(name) else os.path.join(base, name)
+
+    style_ids = jnp.asarray([vocab(s) for s in styles], jnp.int32)
+    bank = synthesize_theta_batched(params, params["decoder"]["embed"][style_ids])
+
+    B = min(train_cfg.batch_size, len(reqs))
+    if args.decode == "greedy":
+        if use_fused:
+            from captionax.ops.decode_kernel import fused_greedy as _g
+
+            def dfn(f, rows):
+                return _g(decoder, f, gru_params=bank,
+                          max_len=train_cfg.beam_max_steps, style_rows=rows)
+        else:
+            from captionax.decode.search import greedy as _g
+
+            def dfn(f, rows):
+                theta = jax.tree_util.tree_map(lambda t: t[rows], bank)
+                return _g(decoder, f, gru_params=theta,
+                          max_len=train_cfg.beam_max_steps)
+    else:
+        if use_fused:
+            from captionax.ops.decode_kernel import fused_beam_search as _b
+
+            def dfn(f, rows):
+                return pack_beam_result(_b(
+                    decoder, f, gru_params=bank,
+                    max_steps=train_cfg.beam_max_steps, style_rows=rows,
+                ))
+        else:
+            from captionax.decode.search import beam_search as _b
+
+            def dfn(f, rows):
+                theta = jax.tree_util.tree_map(lambda t: t[rows], bank)
+                return pack_beam_result(_b(
+                    decoder, f, gru_params=theta,
+                    max_steps=train_cfg.beam_max_steps,
+                ))
+
+    server = PipelinedDecoder(jax.jit(dfn))
+
+    def batches():
+        for start in range(0, len(reqs), B):
+            chunk = reqs[start:start + B]
+            imgs = load_paths_batch([path_of(r["image"]) for r in chunk])
+            rows = np.asarray([sid[r["style"]] for r in chunk], np.int32)
+            if len(chunk) < B:  # pad to one compiled shape
+                pad = B - len(chunk)
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad,) + imgs.shape[1:], np.uint8)]
+                )
+                rows = np.concatenate([rows, np.zeros((pad,), np.int32)])
+            yield encode(imgs), jnp.asarray(rows)
+
+    n_out = 0
+    with open(args.out, "w") as out:
+        i = 0
+        for result in server.map(batches()):
+            if args.decode == "greedy":
+                rows_out = [{"caption": ids_to_text(t, vocab)}
+                            for t in np.asarray(result)]
+            else:
+                res = unpack_beam_result(np.asarray(result))
+                rows_out = [
+                    {"caption": ids_to_text(res.tokens[j], vocab),
+                     "score": float(res.scores[j]),
+                     "completed": bool(res.found[j])}
+                    for j in range(res.tokens.shape[0])
+                ]
+            for row in rows_out:
+                if i >= len(reqs):  # padding rows of the last chunk
+                    break
+                out.write(json.dumps({
+                    "image": os.path.basename(reqs[i]["image"]),
+                    "style": reqs[i]["style"], **row,
+                }) + "\n")
+                i += 1
+                n_out += 1
+    print(f"wrote {n_out} captions for {len(reqs)} mixed-style requests "
+          f"({len(styles)} styles in one stream) -> {args.out}")
     return n_out
 
 

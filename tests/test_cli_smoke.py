@@ -120,6 +120,37 @@ class TestCoreClis:
                        "--out", str(out), "--decode", "greedy"))
         lines = [json.loads(x) for x in out.read_text().splitlines()]
         assert n2 == len(lines) == 5
+
+    def test_caption_mixed_style_requests(self, tmp_path):
+        """--requests: arbitrary per-image styles in one mixed stream."""
+        import json
+
+        import numpy as np
+        from PIL import Image
+
+        from captionax.cli.caption import main
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rs = np.random.RandomState(1)
+        for i in range(5):
+            Image.fromarray(
+                rs.randint(0, 255, (64, 80, 3), np.uint8)
+            ).save(img_dir / f"im{i}.jpg")
+        reqs = tmp_path / "reqs.jsonl"
+        want = [("im0.jpg", "humour"), ("im1.jpg", "factual"),
+                ("im2.jpg", "romantic"), ("im3.jpg", "factual"),
+                ("im4.jpg", "humour"), ("im0.jpg", "romantic")]
+        reqs.write_text("\n".join(
+            json.dumps({"image": n, "style": s}) for n, s in want
+        ))
+        out = tmp_path / "caps.jsonl"
+        n = main(args(tmp_path, "--images", str(img_dir),
+                      "--requests", str(reqs), "--out", str(out)))
+        lines = [json.loads(x) for x in out.read_text().splitlines()]
+        assert n == len(lines) == len(want)
+        assert [(x["image"], x["style"]) for x in lines] == want
+        assert all("caption" in x and "score" in x for x in lines)
         assert all("caption" in x for x in lines)
 
     def test_build_vocab(self, tmp_path):
