@@ -39,7 +39,8 @@ def synthetic_image(name: str, hw: Tuple[int, int] = (224, 224)) -> np.ndarray:
     seed = int.from_bytes(hashlib.sha1(name.encode()).digest()[:4], "little")
     rng = np.random.RandomState(seed)
     base = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
-    img = np.kron(base, np.ones((hw[0] // 8, hw[1] // 8, 1), dtype=np.uint8))
+    # repeat == kron-with-ones here, bit-identical and 2x faster
+    img = base.repeat(hw[0] // 8, axis=0).repeat(hw[1] // 8, axis=1)
     return img[: hw[0], : hw[1]]
 
 
