@@ -69,6 +69,11 @@ def main(argv=None):
                         help="cc = visualize_gru_cc/visualize_hyper_cc: "
                              "caption CC images per domain")
     parser.add_argument("--encoder-weights", type=str, default="")
+    parser.add_argument("--kind", type=str, default="hypernet",
+                        choices=["gru", "hypernet"],
+                        help="gru = a plain captioner checkpoint "
+                             "(visualize_gru): one prediction per image, "
+                             "no style columns")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -89,6 +94,12 @@ def main(argv=None):
             load_cc_captions(data_cfg.cc_captions), vocab,
             image_loader=synthetic_image, max_len=train_cfg.max_len,
         )
+    elif args.kind == "gru":
+        from captionax.cli.common import build_captioner
+
+        # train_gru checkpoints the bare captioner pytree
+        params = build_captioner(model_cfg, vocab, k1)
+        data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
     else:
         params = build_hypernet_model(model_cfg, vocab, k1)
         data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
@@ -97,6 +108,8 @@ def main(argv=None):
         print(f"loaded checkpoint from {train_cfg.checkpoint_dir}")
     except FileNotFoundError:
         print("no checkpoint; visualizing the random-init model")
+    if args.dataset != "cc" and args.kind == "gru":
+        params = {"decoder": params}
     encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
 
     encode = jax.jit(lambda imgs: encoder_cnn(encoder_params, preprocess_images(imgs)))
@@ -134,21 +147,25 @@ def main(argv=None):
         print(f"wrote {os.path.abspath(args.out)} ({shown} domains)")
         return args.out
 
-    rows = [["image"] + [f"<b>{s}</b>" for s in STYLES] + ["ground truth"]]
+    styles = ("factual",) if args.kind == "gru" else STYLES
+    rows = [["image"] + [f"<b>{s}</b>" for s in styles] + ["ground truth"]]
     n = min(args.num_images, len(data))
     imgs = np.stack([data.image(i) for i in range(n)])
     feats = encode(imgs)
     per_style_tokens = {}
-    for style in STYLES:
-        style_embed = embedding(
-            params["decoder"]["embed"], np.int32(vocab(style))
-        )
-        theta = hypernet_apply(params["hn"], style_embed)
+    for style in styles:
+        if args.kind == "gru":
+            theta = None
+        else:
+            style_embed = embedding(
+                params["decoder"]["embed"], np.int32(vocab(style))
+            )
+            theta = hypernet_apply(params["hn"], style_embed)
         per_style_tokens[style] = np.asarray(decode(feats, theta))
     for i in range(n):
         gt = ids_to_text(data.caption_ids("factual", i, pick=0), vocab)
         row = [f"<img src='{img_to_data_uri(imgs[i])}' width='160'>"]
-        for style in STYLES:
+        for style in styles:
             row.append(html.escape(ids_to_text(per_style_tokens[style][i], vocab)))
         row.append(html.escape(gt))
         rows.append(row)

@@ -76,6 +76,21 @@ class TestCoreClis:
         html = out.read_text()
         assert "<html" in html.lower() and "img" in html.lower()
 
+    def test_visualize_gru_checkpoint(self, tmp_path):
+        """--kind gru restores a plain train_gru checkpoint (the reference
+        visualize_gru path) — regressed once: the CLI only built the
+        hypernet tree and orbax refused the restore."""
+        from captionax.cli.train_gru import main as train_main
+        from captionax.cli.visualize import main as viz_main
+
+        train_main(args(tmp_path))
+        out = tmp_path / "viz_gru.html"
+        viz_main(args(tmp_path, "--out", str(out), "--num-images", "2",
+                      "--kind", "gru"))
+        html = out.read_text()
+        assert "<html" in html.lower() and "factual" in html
+        assert "humour" not in html  # plain captioner has no style columns
+
     def test_train_hypernet(self, tmp_path):
         from captionax.cli.train_hypernet import main
 
