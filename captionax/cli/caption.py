@@ -29,6 +29,23 @@ from captionax.cli.common import (
 )
 
 
+def _result_rows(result, decode: str, vocab):
+    """Device result -> JSON-ready rows (shared by the per-style and
+    mixed-request paths)."""
+    from captionax.decode.serving import unpack_beam_result
+    from captionax.eval.metrics import ids_to_text
+
+    if decode == "greedy":
+        return [{"caption": ids_to_text(t, vocab)} for t in np.asarray(result)]
+    res = unpack_beam_result(np.asarray(result))
+    return [
+        {"caption": ids_to_text(res.tokens[j], vocab),
+         "score": float(res.scores[j]),
+         "completed": bool(res.found[j])}
+        for j in range(res.tokens.shape[0])
+    ]
+
+
 def iter_image_files(path: str):
     exts = (".jpg", ".jpeg", ".png")
     if os.path.isfile(path):
@@ -65,8 +82,7 @@ def main(argv=None):
 
     from captionax.data.native_image import load_paths_batch
     from captionax.data.transforms import preprocess_images
-    from captionax.decode.serving import PipelinedDecoder, unpack_beam_result
-    from captionax.eval.metrics import ids_to_text
+    from captionax.decode.serving import PipelinedDecoder
     from captionax.models.encoder import encoder_cnn
     from captionax.train.checkpoint import restore_checkpoint
     from captionax.train.steps import synthesize_theta
@@ -152,18 +168,7 @@ def main(argv=None):
 
             i = 0
             for result in server.map(feature_batches()):
-                if args.decode == "greedy":
-                    rows = [{"caption": ids_to_text(t, vocab)}
-                            for t in np.asarray(result)]
-                else:
-                    res = unpack_beam_result(np.asarray(result))
-                    rows = [
-                        {"caption": ids_to_text(res.tokens[j], vocab),
-                         "score": float(res.scores[j]),
-                         "completed": bool(res.found[j])}
-                        for j in range(res.tokens.shape[0])
-                    ]
-                for row in rows:
+                for row in _result_rows(result, args.decode, vocab):
                     if i >= len(files):  # padding rows of the last chunk
                         break
                     out.write(json.dumps({
@@ -188,12 +193,7 @@ def _serve_requests(args, train_cfg, params, decoder, vocab, encode,
     import jax.numpy as jnp
 
     from captionax.data.native_image import load_paths_batch
-    from captionax.decode.serving import (
-        PipelinedDecoder,
-        pack_beam_result,
-        unpack_beam_result,
-    )
-    from captionax.eval.metrics import ids_to_text
+    from captionax.decode.serving import PipelinedDecoder, pack_beam_result
     from captionax.train.steps import synthesize_theta_batched
 
     if args.kind != "hypernet":
@@ -267,18 +267,7 @@ def _serve_requests(args, train_cfg, params, decoder, vocab, encode,
     with open(args.out, "w") as out:
         i = 0
         for result in server.map(batches()):
-            if args.decode == "greedy":
-                rows_out = [{"caption": ids_to_text(t, vocab)}
-                            for t in np.asarray(result)]
-            else:
-                res = unpack_beam_result(np.asarray(result))
-                rows_out = [
-                    {"caption": ids_to_text(res.tokens[j], vocab),
-                     "score": float(res.scores[j]),
-                     "completed": bool(res.found[j])}
-                    for j in range(res.tokens.shape[0])
-                ]
-            for row in rows_out:
+            for row in _result_rows(result, args.decode, vocab):
                 if i >= len(reqs):  # padding rows of the last chunk
                     break
                 out.write(json.dumps({

@@ -53,6 +53,36 @@ def domain_list(*paths: str) -> List[str]:
     return list(seen)
 
 
+def domain_chunks(
+    by_domain: Dict[str, Sequence[int]],
+    batch_size: int,
+    rng: random.Random,
+    drop_remainder: bool = True,
+    allowed: Optional[set] = None,
+) -> List[Tuple[str, List[int]]]:
+    """Shuffled domain-homogeneous index chunks (shared by the CC and
+    URL-streaming loaders — they once diverged on this and silently
+    under-trained).
+
+    With ``drop_remainder`` (training), a domain's tail chunk is FILLED
+    by resampling from the same domain instead of dropped — the
+    reference's stateful sampler likewise resamples within the fixed
+    domain to fill every batch (cc_dataloader.py:75-158), so domains
+    smaller than ``batch_size`` still train (oversampled) rather than
+    contributing zero batches."""
+    all_batches: List[Tuple[str, List[int]]] = []
+    for dom, idxs in by_domain.items():
+        idxs = [i for i in idxs if allowed is None or i in allowed]
+        rng.shuffle(idxs)
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s : s + batch_size]
+            if len(chunk) < batch_size and drop_remainder:
+                chunk = chunk + rng.choices(idxs, k=batch_size - len(chunk))
+            all_batches.append((dom, chunk))
+    rng.shuffle(all_batches)
+    return all_batches
+
+
 def extract_domain(url: str) -> str:
     """Registrable-domain extraction (tldextract equivalent for the
     URL-streaming loader, conceptual_dataloader.py:34-40)."""
@@ -120,27 +150,12 @@ class ConceptualCaptionsData:
         with_images: bool = True,
     ):
         """Domain-homogeneous batches: dict(images?, captions [B,T],
-        lengths [B], domain str).
-
-        With ``drop_remainder`` (training), a domain's tail chunk is
-        FILLED by resampling from the same domain instead of dropped —
-        the reference's stateful sampler likewise resamples within the
-        fixed domain to fill every batch (cc_dataloader.py:75-158), so
-        domains smaller than ``batch_size`` still train (oversampled)
-        rather than silently contributing zero batches."""
+        lengths [B], domain str).  Tail-chunk semantics: see
+        :func:`domain_chunks`."""
         rng = random.Random(seed)
         allowed = set(indices) if indices is not None else None
-        all_batches: List[Tuple[str, List[int]]] = []
-        for dom, idxs in self.by_domain.items():
-            idxs = [i for i in idxs if allowed is None or i in allowed]
-            rng.shuffle(idxs)
-            for s in range(0, len(idxs), batch_size):
-                chunk = idxs[s : s + batch_size]
-                if len(chunk) < batch_size and drop_remainder:
-                    chunk = chunk + rng.choices(idxs, k=batch_size - len(chunk))
-                all_batches.append((dom, chunk))
-        rng.shuffle(all_batches)
-        for dom, chunk in all_batches:
+        for dom, chunk in domain_chunks(self.by_domain, batch_size, rng,
+                                        drop_remainder, allowed):
             caps = np.stack([self._encode(self.rows[i][1]) for i in chunk])
             out = {
                 "captions": caps,

@@ -109,23 +109,14 @@ class StreamingCC:
 
     def batches(self, batch_size: int, seed: int = 0,
                 drop_remainder: bool = True):
-        """Domain-homogeneous batches; like ConceptualCaptionsData.batches,
-        a tail chunk is FILLED by resampling within the domain when
-        ``drop_remainder`` is set (the reference resamples within the
-        fixed domain, cc_dataloader.py:75-158), so domains smaller than
-        ``batch_size`` oversample instead of silently vanishing."""
+        """Domain-homogeneous batches; tail-chunk fill semantics shared
+        with ConceptualCaptionsData via :func:`captionax.data.cc.
+        domain_chunks`."""
+        from captionax.data.cc import domain_chunks
+
         rng = random.Random(seed)
-        all_batches = []
-        for dom, idxs in self.by_domain.items():
-            idxs = list(idxs)
-            rng.shuffle(idxs)
-            for s in range(0, len(idxs), batch_size):
-                chunk = idxs[s : s + batch_size]
-                if len(chunk) < batch_size and drop_remainder:
-                    chunk = chunk + rng.choices(idxs, k=batch_size - len(chunk))
-                all_batches.append((dom, chunk))
-        rng.shuffle(all_batches)
-        for dom, chunk in all_batches:
+        for dom, chunk in domain_chunks(self.by_domain, batch_size, rng,
+                                        drop_remainder):
             imgs, caps = [], []
             for i in chunk:
                 caption, url, _ = self.rows[i]
