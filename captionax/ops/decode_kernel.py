@@ -444,7 +444,11 @@ def fused_greedy(
         h0 = jnp.pad(h0, ((0, pad), (0, 0)))
     styles = (
         jnp.zeros((B,), jnp.int32) if not multi
-        else jnp.asarray(style_rows, jnp.int32)
+        # Clamp to [0, S): an out-of-range row would otherwise select an
+        # all-zero one-hot in _cell_core_multi and decode with bias-only
+        # GRU weights — silently wrong captions rather than an error.
+        else jnp.clip(jnp.asarray(style_rows, jnp.int32),
+                      0, gru_params["w_ih"].shape[0] - 1)
     )
     styles = jnp.pad(styles, (0, pad))[:, None]
     grid = rows // block_rows
@@ -789,7 +793,10 @@ def fused_beam_search(
         h0 = jnp.pad(h0, ((0, pad), (0, 0)))
     styles = (
         jnp.zeros((B,), jnp.int32) if not multi
-        else jnp.asarray(style_rows, jnp.int32)
+        # Clamp to [0, S) — see fused_greedy: out-of-range rows would
+        # select zero GRU weights and emit silently wrong captions.
+        else jnp.clip(jnp.asarray(style_rows, jnp.int32),
+                      0, gru_params["w_ih"].shape[0] - 1)
     )
     styles = jnp.pad(styles, (0, pad))[:, None]  # [n_img, 1]
     # expand to beam rows [n_img*k, ...]

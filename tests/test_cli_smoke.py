@@ -135,6 +135,7 @@ class TestCoreClis:
                        "--out", str(out), "--decode", "greedy"))
         lines = [json.loads(x) for x in out.read_text().splitlines()]
         assert n2 == len(lines) == 5
+        assert all("caption" in x for x in lines)
 
     def test_caption_mixed_style_requests(self, tmp_path):
         """--requests: arbitrary per-image styles in one mixed stream."""
@@ -166,7 +167,6 @@ class TestCoreClis:
         assert n == len(lines) == len(want)
         assert [(x["image"], x["style"]) for x in lines] == want
         assert all("caption" in x and "score" in x for x in lines)
-        assert all("caption" in x for x in lines)
 
     def test_build_vocab(self, tmp_path):
         from captionax.cli.build_vocab import main
