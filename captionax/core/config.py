@@ -41,6 +41,11 @@ class TrainConfig:
     plateau_patience: int = 10
     plateau_cooldown: int = 2
     teacher_forcing_prob: float = 0.0  # reference sample_prob semantics
+    # run the exponential LR sweep before fit and install the suggested
+    # LR (pl.Trainer auto_lr_find=True + trainer.tune, the reference's
+    # default flow — train_attention_gru.py:330-342)
+    auto_lr_find: bool = False
+    lr_find_steps: int = 100
     seed: int = 0
     max_len: int = 25
     beam_size: int = 3

@@ -191,6 +191,76 @@ class CaptionTrainer:
     def decoder_params(self):
         return self.params["decoder"] if self.kind != "gru" else self.params
 
+    # -- LR finder ------------------------------------------------------
+    def lr_find(
+        self,
+        train_batches: Callable[[int], Iterable[Dict]],
+        num_training: int = 100,
+        min_lr: float = 1e-6,
+        max_lr: float = 1.0,
+        beta: float = 0.98,
+    ) -> Optional[float]:
+        """Exponential LR sweep + steepest-descent suggestion — the
+        pl.Trainer ``tune()``/``auto_lr_find`` step every reference
+        trainer runs before fit (train_attention_gru.py:330-342).
+
+        Runs up to ``num_training`` optimizer steps with the LR swept
+        geometrically from ``min_lr`` to ``max_lr``, tracking the
+        bias-corrected EWMA of the loss (Lightning's smoothing), stops
+        early on divergence (smoothed loss > 4x best), then restores the
+        pre-sweep state and installs the suggested LR."""
+        import math
+
+        from captionax.train.state import suggest_lr_from_sweep
+
+        # host-side snapshot: the jitted step donates the state buffers,
+        # so keeping device references would leave the snapshot invalid
+        # after the first sweep step
+        saved_state = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).copy() if hasattr(x, "shape") else x,
+            self.state,
+        )
+        saved_step = self.global_step
+        ratio = (max_lr / min_lr) ** (1.0 / max(num_training - 1, 1))
+        lrs, losses = [], []
+        avg, best = 0.0, float("inf")
+        i = 0
+        done = False
+        epoch = 0
+        while not done and i < num_training:
+            got_batch = False
+            for batch in self._loader(train_batches(epoch), mesh=self.mesh):
+                got_batch = True
+                lr = min_lr * (ratio ** i)
+                self.state = set_lr(self.state, lr)
+                db = self._featurize(batch)
+                step_fn = self._get_train_step(db)
+                self.state, metrics = step_fn(self.state, db)
+                loss = float(metrics["train_loss"])
+                avg = beta * avg + (1 - beta) * loss
+                smoothed = avg / (1 - beta ** (len(losses) + 1))
+                lrs.append(lr)
+                losses.append(smoothed)
+                if math.isfinite(smoothed):
+                    best = min(best, smoothed)
+                i += 1
+                if i >= num_training or (
+                    len(losses) > 10
+                    and (not math.isfinite(smoothed) or smoothed > 4 * best)
+                ):
+                    done = True
+                    break
+            if not got_batch:
+                break
+            epoch += 1
+        self.state = saved_state
+        self.global_step = saved_step
+        suggestion = suggest_lr_from_sweep(lrs, losses)
+        if suggestion is not None:
+            self.state = set_lr(self.state, suggestion)
+            self.logger.log({"lr_find_suggestion": suggestion})
+        return suggestion
+
     # -- loops ----------------------------------------------------------
     def fit(
         self,
@@ -200,6 +270,10 @@ class CaptionTrainer:
         """train_batches(epoch) / val_batches() yield host batch dicts."""
         cfg = self.config
         history = {}
+        if cfg.auto_lr_find:
+            found = self.lr_find(train_batches,
+                                 num_training=cfg.lr_find_steps)
+            print(f"lr_find: suggested lr={found}")
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
             n, loss_sum = 0, 0.0

@@ -67,6 +67,33 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
     return state._replace(opt_state=state.opt_state._replace(hyperparams=hp))
 
 
+def suggest_lr_from_sweep(lrs, losses, skip_begin: int = 10,
+                          skip_end: int = 1) -> Optional[float]:
+    """Pick the LR at the steepest descent of the smoothed loss curve —
+    the pl.Trainer ``auto_lr_find`` suggestion rule
+    (/root/reference/train_attention_gru.py:330-342 relies on
+    trainer.tune's exponential LR sweep; this reproduces the Lightning
+    LRFinder.suggestion() policy: argmin of the loss gradient over the
+    swept window, edges skipped)."""
+    import numpy as np
+
+    lrs = np.asarray(lrs, np.float64)
+    losses = np.asarray(losses, np.float64)
+    finite = np.isfinite(losses)
+    if finite.sum() < max(skip_begin + skip_end + 2, 4):
+        # sweep diverged almost immediately; fall back to the smallest
+        # finite-loss lr scaled down, or None if nothing is usable
+        return float(lrs[finite][-1] / 10.0) if finite.any() else None
+    lo = min(skip_begin, max(0, finite.sum() - 3))
+    hi = len(losses) - skip_end
+    seg = losses[lo:hi]
+    seg_lrs = lrs[lo:hi]
+    good = np.isfinite(seg)
+    grad = np.gradient(np.where(good, seg, np.nanmax(seg[good])))
+    grad[~good] = np.inf
+    return float(seg_lrs[int(np.argmin(grad))])
+
+
 class PlateauScheduler:
     """torch ReduceLROnPlateau semantics (mode=min, the defaults the
     reference relies on): patience epochs without improvement halves the

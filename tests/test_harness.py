@@ -87,6 +87,45 @@ class TestTrainerFit:
         res = trainer.test_beam(feature_batches(V, n_batches=1, seed=7))
         assert "tf_bleu1" in res
 
+    def test_lr_find_restores_state_and_sets_lr(self, model, tmp_path):
+        """auto_lr_find equivalent (trainer.tune,
+        train_attention_gru.py:330-342): the sweep must leave params
+        bit-identical to the pre-sweep snapshot and install a suggested
+        LR inside the swept range."""
+        from captionax.train.state import get_lr
+
+        cfg = TrainConfig(max_epochs=1, batch_size=B, lr=1e-3,
+                          checkpoint_dir=str(tmp_path))
+        trainer = CaptionTrainer(model, "hypernet", cfg, FakeVocab(V),
+                                 run_name="lrf")
+        before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+        lr = trainer.lr_find(
+            lambda epoch: feature_batches(V, seed=epoch),
+            num_training=30, min_lr=1e-6, max_lr=1.0,
+        )
+        assert lr is not None and 1e-6 <= lr <= 1.0
+        assert abs(get_lr(trainer.state) - lr) < 1e-6 * lr  # f32 storage
+        after = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(after)):
+            np.testing.assert_array_equal(a, b)
+        # and fit still runs after a sweep
+        hist = trainer.fit(
+            lambda epoch: feature_batches(V, seed=epoch),
+        )
+        assert np.isfinite(hist[0]["train_loss_epoch"])
+
+    def test_auto_lr_find_flag_runs_in_fit(self, model, tmp_path):
+        cfg = TrainConfig(max_epochs=1, batch_size=B, lr=1e-3,
+                          checkpoint_dir=str(tmp_path),
+                          auto_lr_find=True, lr_find_steps=15)
+        trainer = CaptionTrainer(model["decoder"], "gru", cfg, FakeVocab(V),
+                                 run_name="alf")
+        hist = trainer.fit(
+            lambda epoch: feature_batches(V, styles=False, seed=epoch),
+        )
+        assert np.isfinite(hist[0]["train_loss_epoch"])
+
     def test_gru_kind(self, model, tmp_path):
         cfg = TrainConfig(max_epochs=1, batch_size=B, lr=1e-3,
                           checkpoint_dir=str(tmp_path))
