@@ -84,6 +84,7 @@ def resolve_flickr_data(data_cfg: DataConfig, vocab, max_len: int) -> FlickrStyl
             vocab=vocab,
             max_len=max_len,
             factual_lines=factual_lines,
+            styled_fixture=data_cfg.styled_fixture,
         )
     from captionax.data.native_image import make_file_loader
 

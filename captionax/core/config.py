@@ -84,6 +84,11 @@ class DataConfig:
     glove_path: str = ""
     synthetic: bool = False
     synthetic_images: int = 64
+    # derive humour/romantic lines from each image's real factual
+    # caption via the deterministic styled fixture (the real styled
+    # files are dangling symlinks in the snapshot) — gives the 3-style
+    # hypernet a learnable, measurable style signal
+    styled_fixture: bool = False
     domain_scheme: str = "one hot"
     n_tsne: int = 2
 

@@ -44,17 +44,84 @@ def synthetic_image(name: str, hw: Tuple[int, int] = (224, 224)) -> np.ndarray:
     return img[: hw[0], : hw[1]]
 
 
+# Style-marked tails for the deterministic styled-caption fixture.  The
+# real FlickrStyle humor/romantic files are dangling symlinks in the
+# snapshot (/root/reference/data/humor -> /cortex/..., SURVEY.md §2.9);
+# this fixture builds learnable styled captions over the REAL factual
+# corpus instead: each styled line = the image's factual prefix (image
+# signal) + a style-specific tail (style signal), so a style-conditioned
+# model must use both the image features and the style embedding.  Tail
+# vocabulary is disjoint between styles and verified against the shipped
+# vocab.pkl (tests/test_data.py).
+_HUMOUR_FIXTURE_TAILS = [
+    "hoping to win the lottery",
+    "like a silly clown in the circus",
+    "dreaming of becoming famous",
+    "chasing his wild dreams",
+    "pretending to be lost in space",
+    "trying to impress nobody",
+    "waiting for the banana party",
+    "with crazy dance moves",
+    "like a confused tourist",
+]
+_ROMANTIC_FIXTURE_TAILS = [
+    "filled with tender love",
+    "in a gentle embrace",
+    "longing for a sweet moment together",
+    "with a heart full of joy",
+    "celebrating eternal love",
+    "dreaming of true romance",
+    "toward a warm and loving home",
+    "watching the golden sunset together",
+    "with their beloved friend",
+]
+
+
+def _known_tails(tails: List[str], vocab: Optional[Vocab]) -> List[str]:
+    if vocab is None or not hasattr(vocab, "w2i"):
+        return tails
+    known = [t for t in tails if all(w in vocab.w2i for w in t.split())]
+    return known or tails
+
+
+def styled_caption_fixture(
+    first_factual_caps: List[str], vocab: Optional[Vocab] = None,
+    prefix_words: int = 8,
+) -> Tuple[List[str], List[str]]:
+    """Deterministic (humour, romantic) caption lists aligned with the
+    given per-image factual captions.
+
+    Line i = first ``prefix_words`` tokens of factual caption i + a
+    style tail chosen by a hash of i.  Tails with words outside
+    ``vocab`` are dropped so every fixture token is encodable."""
+    ht = _known_tails(_HUMOUR_FIXTURE_TAILS, vocab)
+    rt = _known_tails(_ROMANTIC_FIXTURE_TAILS, vocab)
+    humour, romantic = [], []
+    for i, cap in enumerate(first_factual_caps):
+        prefix = " ".join(cap.lower().split()[:prefix_words])
+        seed = int.from_bytes(
+            hashlib.sha1(f"style{i}".encode()).digest()[:4], "little"
+        )
+        humour.append(f"{prefix} {ht[seed % len(ht)]}")
+        romantic.append(f"{prefix} {rt[(seed // 7) % len(rt)]}")
+    return humour, romantic
+
+
 def synthetic_flickr_style(
     num_images: int = 64,
     vocab: Optional[Vocab] = None,
     max_len: int = 25,
     factual_lines: Optional[List[str]] = None,
+    styled_fixture: bool = False,
 ) -> FlickrStyleData:
     """A small FlickrStyle-shaped dataset with deterministic images.
 
     If ``factual_lines`` is given (e.g. real lines from
     /root/reference/data/factual_train.txt), those captions are used;
-    otherwise templated captions."""
+    otherwise templated captions.  ``styled_fixture=True`` replaces the
+    four toy styled templates with :func:`styled_caption_fixture` lines
+    derived from each image's factual caption — the flagship 3-style
+    hypernet training target when the real styled files are absent."""
     factual = []
     humour, romantic = [], []
     for i in range(num_images):
@@ -67,6 +134,10 @@ def synthetic_flickr_style(
             factual.append((name, cap))
         humour.append(_STYLED_TEMPLATES_HUMOUR[i % len(_STYLED_TEMPLATES_HUMOUR)])
         romantic.append(_STYLED_TEMPLATES_ROMANTIC[i % len(_STYLED_TEMPLATES_ROMANTIC)])
+    if styled_fixture:
+        humour, romantic = styled_caption_fixture(
+            [factual[i * 5][1] for i in range(num_images)], vocab
+        )
     if vocab is None:
         vocab = build_vocab(
             [c for _, c in factual] * 2,  # *2 defeats the min-count filter

@@ -187,3 +187,106 @@ class TestPipeline:
 
         with pytest.raises(RuntimeError, match="boom"):
             list(BatchLoader(bad_gen(), prefetch=1))
+
+
+class TestStyledFixture:
+    """The deterministic styled-caption fixture that stands in for the
+    dangling FlickrStyle humor/romantic files (SURVEY.md §2.9)."""
+
+    def test_fixture_lines_aligned_and_distinct(self, ref_vocab):
+        from captionax.data.synthetic import styled_caption_fixture
+
+        factual = load_factual_captions("/root/reference/data/factual_train.txt")
+        firsts = [factual[i * 5][1] for i in range(50)]
+        hum, rom = styled_caption_fixture(firsts, ref_vocab)
+        assert len(hum) == len(rom) == 50
+        # style lines share the factual prefix but end differently
+        diff = sum(h != r for h, r in zip(hum, rom))
+        assert diff == 50
+        for h, f in zip(hum, firsts):
+            assert h.startswith(" ".join(f.lower().split()[:3]))
+        # deterministic
+        hum2, _ = styled_caption_fixture(firsts, ref_vocab)
+        assert hum == hum2
+
+    def test_fixture_fully_encodable(self, ref_vocab):
+        """Every fixture token must map to a real vocab id (no <unk>),
+        otherwise the style signal collapses into the unk embedding."""
+        from captionax.data.synthetic import (
+            _HUMOUR_FIXTURE_TAILS,
+            _ROMANTIC_FIXTURE_TAILS,
+            _known_tails,
+        )
+
+        for pool in (_HUMOUR_FIXTURE_TAILS, _ROMANTIC_FIXTURE_TAILS):
+            known = _known_tails(pool, ref_vocab)
+            assert len(known) >= 6, f"too few in-vocab tails: {known}"
+            for t in known:
+                for w in t.split():
+                    assert w in ref_vocab.w2i
+
+    def test_synthetic_dataset_uses_fixture(self, ref_vocab):
+        factual = load_factual_captions("/root/reference/data/factual_train.txt")
+        data = synthetic_flickr_style(
+            num_images=8, vocab=ref_vocab,
+            factual_lines=[c for _, c in factual[:80]],
+            styled_fixture=True,
+        )
+        assert len(data.humour) == len(data.romantic) == 8
+        # styled ids differ from factual ids for the same image
+        fac = data.caption_ids("factual", 0, pick=0)
+        hum = data.caption_ids("humour", 0)
+        assert not np.array_equal(fac, hum)
+
+    def test_styles_are_classifier_separable(self, ref_vocab):
+        """A few Adam steps of the small style classifier must separate
+        humour from romantic fixture lines far above chance — the
+        measurable style-separation signal the flagship run reports."""
+        import jax.numpy as jnp
+        import optax
+
+        from captionax.models.classifiers import (
+            small_style_classifier_apply,
+            small_style_classifier_init,
+        )
+
+        factual = load_factual_captions("/root/reference/data/factual_train.txt")
+        data = synthetic_flickr_style(
+            num_images=200, vocab=ref_vocab,
+            factual_lines=[c for _, c in factual[:1000]],
+            styled_fixture=True,
+        )
+        ids = np.stack(
+            [data.caption_ids("humour", i) for i in range(160)]
+            + [data.caption_ids("romantic", i) for i in range(160)]
+        )
+        labels = np.array([1] * 160 + [2] * 160)
+        test_ids = np.stack(
+            [data.caption_ids("humour", i) for i in range(160, 200)]
+            + [data.caption_ids("romantic", i) for i in range(160, 200)]
+        )
+        test_labels = np.array([1] * 40 + [2] * 40)
+
+        params = small_style_classifier_init(
+            jax.random.PRNGKey(0), len(ref_vocab), 32
+        )
+        tx = optax.adam(1e-2)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, ids, labels):
+            def loss_fn(p):
+                probs = small_style_classifier_apply(p, ids)
+                return -jnp.mean(
+                    jnp.log(probs[jnp.arange(len(labels)), labels] + 1e-9)
+                )
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(g, opt)
+            return optax.apply_updates(params, updates), opt, loss
+
+        for _ in range(60):
+            params, opt, loss = step(params, opt, ids, labels)
+        probs = np.asarray(small_style_classifier_apply(params, test_ids))
+        acc = (probs.argmax(-1) == test_labels).mean()
+        assert acc >= 0.9, f"style separation too weak: acc={acc}"
