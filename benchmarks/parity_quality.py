@@ -1,0 +1,691 @@
+"""Side-by-side quality parity: captionax vs a raw-torch reference oracle.
+
+The north star demands "CIDEr within +-0.5 of the PyTorch reference on
+FlickrStyle" (BASELINE.json), but the reference publishes no numbers and
+its trainers cannot run in this image (torchvision / pytorch_lightning
+absent).  This harness measures the comparison directly:
+
+1. ``dump``  — build the shared dataset (synthetic images over the REAL
+   captions + real vocab.pkl) and precompute frozen-encoder features
+   once (the reference encoder is frozen, train_attention_gru.py:47, so
+   identical features make the comparison exact and spare the torch CPU
+   a ResNet-152 per batch).
+2. ``jax``   — train the captionax model (CaptionTrainer) on those
+   features.  Teacher-forced, greedy and k=3-beam eval on the test
+   split with captionax metrics.
+3. ``torch`` — train a raw-torch rebuild of the reference model with
+   reference semantics (per-token Python loop, CE ignore_index=<pad>
+   F.cross_entropy — train_attention_gru.py:104-126; Adam + grad-clip
+   5.0 + ReduceLROnPlateau(factor=.5, cooldown=2) —
+   hypernet_attention.py:123-133, trainer args :330-343) — starting
+   from the SAME initial weights, consuming the SAME batch stream in
+   the SAME order, evaluated with the SAME metric code.
+4. ``crosscheck`` — run the jax-trained weights through the torch
+   reference beam and compare token outputs against captionax's beam
+   (pins the beam-vs-TF quality gap to the model, not the search).
+5. ``report`` — side-by-side table (goes into BASELINE.md).
+
+Usage:
+    python benchmarks/parity_quality.py --model gru --images 2000 \
+        --epochs 12 --phase all
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_parity")
+
+NF, R = 2048, 49
+FO = E = H = 200
+STYLES = ("factual", "humour", "romantic")
+
+
+# ---------------------------------------------------------------- shared
+def build_data(n_images: int, max_len: int = 25):
+    from captionax.core.vocab import load_vocab_pickle
+    from captionax.data.flickr import load_factual_captions
+    from captionax.data.synthetic import synthetic_flickr_style
+
+    vocab = load_vocab_pickle("/root/reference/data/vocab.pkl")
+    factual = load_factual_captions("/root/reference/data/factual_train.txt")
+    data = synthetic_flickr_style(
+        num_images=n_images, vocab=vocab, max_len=max_len,
+        factual_lines=[c for _, c in factual], styled_fixture=True,
+    )
+    return vocab, data
+
+
+def feature_path(n_images: int) -> str:
+    return os.path.join(OUT_DIR, f"features_{n_images}.f16.npy")
+
+
+def inject(batches, feats: np.ndarray):
+    """Attach the dumped features to each host batch by dataset index."""
+    for b in batches:
+        b = dict(b)
+        b["features"] = feats[b["indices"]].astype(np.float32)
+        yield b
+
+
+def eval_batches(data, idx, batch_size, style, feats):
+    return inject(
+        data.batches(idx, batch_size, style=style, seed=0, shuffle=False,
+                     drop_remainder=False, with_images=False),
+        feats,
+    )
+
+
+def phase_dump(args):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    from captionax.core.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+
+    from captionax.data.transforms import preprocess_images
+    from captionax.models.encoder import encoder_cnn, resnet_init
+
+    vocab, data = build_data(args.images)
+    enc_params = resnet_init(jax.random.PRNGKey(123), depth=152)
+    encode = jax.jit(lambda p, x: encoder_cnn(p, preprocess_images(x)))
+    chunks = []
+    t0 = time.time()
+    for start in range(0, len(data), args.dump_chunk):
+        idx = range(start, min(start + args.dump_chunk, len(data)))
+        imgs = np.stack([data.image(i) for i in idx])
+        if len(imgs) < args.dump_chunk:  # keep one compiled shape
+            pad = args.dump_chunk - len(imgs)
+            imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+            chunks.append(np.asarray(encode(enc_params, imgs))[: len(idx)])
+        else:
+            chunks.append(np.asarray(encode(enc_params, imgs)))
+        print(f"dump {start + len(idx)}/{len(data)} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+    feats = np.concatenate(chunks).astype(np.float16)
+    np.save(feature_path(args.images), feats)
+    print(f"saved {feature_path(args.images)} {feats.shape}")
+
+
+# ------------------------------------------------------------- jax side
+def phase_jax(args):
+    from captionax.core.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+
+    from captionax.cli.common import build_captioner, build_hypernet_model
+    from captionax.core.config import ModelConfig, TrainConfig
+    from captionax.train.harness import CaptionTrainer
+
+    vocab, data = build_data(args.images)
+    feats = np.load(feature_path(args.images)).astype(np.float32)
+    model_cfg = ModelConfig(vocab_size=len(vocab))
+    train_cfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
+        seed=args.seed, checkpoint_dir=os.path.join(OUT_DIR, f"ckpt_{args.model}"),
+    )
+    key = jax.random.PRNGKey(args.seed)
+    if args.model == "gru":
+        params = build_captioner(model_cfg, vocab, key)
+    else:
+        params = build_hypernet_model(model_cfg, vocab, key,
+                                      hyper_emb=model_cfg.embed_size)
+    # snapshot the init so the torch side starts from identical weights
+    init_host = jax.tree_util.tree_map(np.asarray, params)
+    with open(os.path.join(OUT_DIR, f"init_{args.model}.pkl"), "wb") as f:
+        pickle.dump(init_host, f)
+
+    trainer = CaptionTrainer(params, args.model, train_cfg, vocab,
+                             run_name=f"parity_{args.model}")
+    train_idx, val_idx, test_idx = data.splits(seed=args.seed)
+    style = "factual" if args.model == "gru" else "random"
+    t0 = time.time()
+    history = trainer.fit(
+        lambda epoch: inject(
+            data.batches(train_idx, args.batch_size, style=style,
+                         seed=args.seed + epoch, with_images=False),
+            feats,
+        ),
+        lambda: eval_batches(data, val_idx, args.batch_size, style, feats),
+    )
+    train_s = time.time() - t0
+    results = {"history": {k: {m: float(v) for m, v in h.items()}
+                           for k, h in history.items()},
+               "train_seconds": train_s}
+    from captionax.decode.search import greedy
+    from captionax.eval.metrics import CaptionMetrics
+    from captionax.models.hypernet import hypernet_apply
+
+    greedy_fn = jax.jit(
+        lambda p, f, th: greedy(p, f, max_len=20, gru_params=th)
+    )
+
+    eval_styles = STYLES if args.model == "hypernet" else ("factual",)
+    for st in eval_styles:
+        res = trainer.test_beam(
+            eval_batches(data, test_idx, args.batch_size, st, feats)
+        )
+        res = {k: float(v) for k, v in res.items()}
+        gq = CaptionMetrics(vocab)
+        for b in eval_batches(data, test_idx, args.batch_size, st, feats):
+            theta = (None if args.model == "gru" else hypernet_apply(
+                trainer.params["hn"],
+                np.asarray(trainer.params["decoder"]["embed"])[int(b["style_id"])],
+            ))
+            ids = np.asarray(greedy_fn(trainer.decoder_params(),
+                                       b["features"], theta))
+            gq.add_batch_ids(np.asarray(b["captions"]), ids)
+        res.update({f"greedy_{k}": float(v) for k, v in gq.compute().items()})
+        results[f"test_{st}"] = res
+        print(st, {k: round(float(v), 4) for k, v in res.items()
+                   if "cider" in k or "bleu1" in k or k == "beam_completed"},
+              flush=True)
+    final_host = jax.tree_util.tree_map(np.asarray, trainer.params)
+    with open(os.path.join(OUT_DIR, f"trained_{args.model}_jax.pkl"), "wb") as f:
+        pickle.dump(final_host, f)
+    with open(os.path.join(OUT_DIR, f"{args.model}_jax.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print("jax done", train_s, "s")
+
+
+# ----------------------------------------------------------- torch side
+def make_torch_captioner(vocab_size: int):
+    import torch
+
+    m = torch.nn.Module()
+    m.ff1 = torch.nn.Linear(NF, FO)
+    m.ff2 = torch.nn.Linear(FO, FO)
+    m.embed = torch.nn.Embedding(vocab_size, E)
+    m.gru = torch.nn.GRUCell(E + FO, H)
+    m.fc = torch.nn.Linear(H, vocab_size)
+    m.W_a = torch.nn.Linear(FO, H)
+    m.U_a = torch.nn.Linear(H, H)
+    m.v_a = torch.nn.Linear(H, 1)
+    m.init_h = torch.nn.Linear(FO, H)
+    return m
+
+
+def load_decoder_into_torch(m, params):
+    """Inverse of tests/test_decoder_parity.copy_params."""
+    import torch
+
+    def setlin(lin, p):
+        lin.weight.data = torch.from_numpy(np.asarray(p["w"]).T.copy())
+        lin.bias.data = torch.from_numpy(np.asarray(p["b"]).copy())
+
+    setlin(m.ff1, params["feature_fc"]["l0"])
+    setlin(m.ff2, params["feature_fc"]["l1"])
+    m.embed.weight.data = torch.from_numpy(np.asarray(params["embed"]).copy())
+    for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+        key = name.replace("weight", "w").replace("bias", "b")
+        getattr(m.gru, name).data = torch.from_numpy(
+            np.asarray(params["gru"][key]).copy()
+        )
+    setlin(m.fc, params["fc"])
+    setlin(m.W_a, params["attention"]["W_a"])
+    setlin(m.U_a, params["attention"]["U_a"])
+    setlin(m.v_a, params["attention"]["v_a"])
+    setlin(m.init_h, params["init_h"])
+    return m
+
+
+class TorchHyperNet:
+    """Raw-torch hn_base + bucketed hn_heads
+    (hypernet_attention.py:55-99, N=1, M=500) initialized from the
+    captionax pytree so both sides share t=0 weights."""
+
+    def __init__(self, hn_params):
+        import torch
+
+        def from_mlp(p):
+            layers = []
+            for i in range(len(p)):
+                lin = torch.nn.Linear(*np.asarray(p[f"l{i}"]["w"]).shape)
+                lin.weight.data = torch.from_numpy(
+                    np.asarray(p[f"l{i}"]["w"]).T.copy()
+                )
+                lin.bias.data = torch.from_numpy(
+                    np.asarray(p[f"l{i}"]["b"]).copy()
+                )
+                layers.append(lin)
+            return torch.nn.ModuleList(layers)
+
+        self.base = from_mlp(hn_params["base"])
+        self.heads = {k: from_mlp(v) for k, v in hn_params["heads"].items()}
+        g = np.asarray(hn_params["heads"]["b_ih"]["l1"]["b"]).shape[0]
+        self.hidden = np.asarray(
+            hn_params["heads"]["w_hh"]["l1"]["b"]
+        ).shape[0] // g
+        self.input_dim = np.asarray(
+            hn_params["heads"]["w_ih"]["l1"]["b"]
+        ).shape[0] // g
+        self.g = g
+
+    def parameters(self):
+        ps = [p for lin in self.base for p in lin.parameters()]
+        for mlps in self.heads.values():
+            ps.extend(p for lin in mlps for p in lin.parameters())
+        return ps
+
+    def __call__(self, style_embed):
+        import torch.nn.functional as TF
+
+        x = style_embed
+        for lin in self.base:
+            x = TF.leaky_relu(lin(x))  # final_act=True parity
+        theta = {}
+        for name, mlps in self.heads.items():
+            y = x
+            for i, lin in enumerate(mlps):
+                y = lin(y)
+                if i < len(mlps) - 1:
+                    y = TF.leaky_relu(y)
+            theta[name] = y
+        return {
+            "w_ih": theta["w_ih"].reshape(self.g, self.input_dim),
+            "w_hh": theta["w_hh"].reshape(self.g, self.hidden),
+            "b_ih": theta["b_ih"].reshape(self.g),
+            "b_hh": theta["b_hh"].reshape(self.g),
+        }
+
+
+def functional_gru(theta, x, h):
+    """torch nn.GRUCell math with external weights (the injected-theta
+    cell the reference builds via set_all_parameters, utils.py:44-69)."""
+    import torch
+
+    gi = x @ theta["w_ih"].T + theta["b_ih"]
+    gh = h @ theta["w_hh"].T + theta["b_hh"]
+    i_r, i_z, i_n = gi.chunk(3, 1)
+    h_r, h_z, h_n = gh.chunk(3, 1)
+    r = torch.sigmoid(i_r + h_r)
+    z = torch.sigmoid(i_z + h_z)
+    n = torch.tanh(i_n + r * h_n)
+    return (1 - z) * n + z * h
+
+
+def torch_attention(m, feats, h):
+    import torch
+
+    a = torch.tanh(m.W_a(feats) + m.U_a(h).unsqueeze(1))
+    w = torch.softmax(m.v_a(a), dim=1)
+    return (w * feats).sum(dim=1)
+
+
+def torch_teacher_forced(m, raw_feats, caps, theta=None):
+    """AttentionGru.forward, sample_prob=0 (decoderlstm.py:49-120)."""
+    import torch
+
+    feats = m.ff2(torch.relu(m.ff1(raw_feats)))
+    embeds = m.embed(caps)
+    h = m.init_h(feats.mean(dim=1))
+    outs = []
+    for t in range(caps.shape[1]):
+        we = (torch.zeros_like(embeds[:, 0]) if t == 0
+              else embeds[:, t - 1])
+        ctx = torch_attention(m, feats, h)
+        x = torch.cat([we, ctx], dim=1)
+        h = m.gru(x, h) if theta is None else functional_gru(theta, x, h)
+        outs.append(m.fc(h))
+    return torch.stack(outs, 1)
+
+
+def torch_greedy(m, raw_feats, max_len=20, end_id=2, theta=None):
+    """Batched greedy (greedy_search, decoderlstm.py:138-175: start
+    token 0, embedding NOT zeroed)."""
+    import torch
+
+    with torch.no_grad():
+        feats = m.ff2(torch.relu(m.ff1(raw_feats)))
+        B = feats.shape[0]
+        h = m.init_h(feats.mean(dim=1))
+        tok = torch.zeros(B, dtype=torch.long)
+        done = torch.zeros(B, dtype=torch.bool)
+        out = []
+        for _ in range(max_len):
+            we = m.embed(tok)
+            ctx = torch_attention(m, feats, h)
+            x = torch.cat([we, ctx], dim=1)
+            h_new = m.gru(x, h) if theta is None else functional_gru(theta, x, h)
+            nxt = m.fc(h_new).log_softmax(-1).argmax(-1)
+            out.append(torch.where(done, torch.zeros_like(nxt), nxt))
+            done_new = done | (nxt == end_id)
+            h = torch.where(done.unsqueeze(1), h, h_new)
+            tok = torch.where(done, tok, nxt)
+            done = done_new
+        return torch.stack(out, 1).numpy()
+
+
+def torch_beam(m, raw_feature, k=3, max_steps=50, end_id=2, theta=None):
+    """Reference inline test_step beam for one image
+    (hypernet_attention.py:242-313).  Returns (seq incl leading 0,
+    completed?)."""
+    import torch
+    import torch.nn.functional as TF
+
+    with torch.no_grad():
+        V = m.fc.out_features
+        feats = m.ff2(torch.relu(m.ff1(raw_feature.unsqueeze(0))))
+        feats = feats.expand(k, feats.shape[1], feats.shape[2])
+        h = m.init_h(feats.mean(dim=1))
+        k_prev = torch.zeros(k, 1, dtype=torch.long)
+        seqs = k_prev
+        top_k_scores = torch.zeros(k, 1)
+        complete_seqs, complete_scores = [], []
+        step = 1
+        while True:
+            emb = m.embed(k_prev).squeeze(1)
+            if k_prev[0][0] == 0:
+                emb = torch.zeros_like(emb)
+            ctx = torch_attention(m, feats, h)
+            x = torch.cat([emb, ctx], dim=1)
+            h = m.gru(x, h) if theta is None else functional_gru(theta, x, h)
+            scores = TF.log_softmax(m.fc(h), dim=1)
+            scores = top_k_scores.expand_as(scores) + scores
+            if step == 1:
+                top_sc, top_w = scores[0].topk(k, 0, True, True)
+            else:
+                top_sc, top_w = scores.view(-1).topk(k, 0, True, True)
+            prev_idx = torch.div(top_w, V, rounding_mode="floor")
+            next_tok = top_w % V
+            seqs = torch.cat([seqs[prev_idx], next_tok.unsqueeze(1)], dim=1)
+            incomplete = [i for i, w in enumerate(next_tok) if w != end_id]
+            complete = list(set(range(len(next_tok))) - set(incomplete))
+            if complete:
+                complete_seqs.extend(seqs[complete].tolist())
+                complete_scores.extend(top_sc[complete].tolist())
+            k -= len(complete)
+            if k == 0:
+                break
+            seqs = seqs[incomplete]
+            h = h[prev_idx[incomplete]]
+            feats = feats[prev_idx[incomplete]]
+            top_k_scores = top_sc[incomplete].unsqueeze(1)
+            k_prev = next_tok[incomplete].unsqueeze(1)
+            if step > max_steps:
+                break
+            step += 1
+        if not complete_scores:
+            return seqs[0].tolist(), False
+        best = complete_scores.index(max(complete_scores))
+        return complete_seqs[best], True
+
+
+def torch_eval(m, vocab, batches, theta_fn=None, beam_max_steps=50,
+               greedy_len=20):
+    """TF + greedy + beam corpus metrics with captionax's metric code
+    (identical CIDEr batch composition on both sides)."""
+    import torch
+
+    from captionax.eval.metrics import CaptionMetrics
+
+    tf_q, greedy_q, beam_q = (CaptionMetrics(vocab) for _ in range(3))
+    completed = 0
+    total = 0
+    with torch.no_grad():
+        for b in batches:
+            feats = torch.from_numpy(np.asarray(b["features"]))
+            caps = torch.from_numpy(np.asarray(b["captions"])).long()
+            theta = theta_fn(m, b) if theta_fn is not None else None
+            logits = torch_teacher_forced(m, feats, caps, theta)
+            tf_q.add_batch_logits(caps.numpy(), logits.numpy())
+            greedy_ids = torch_greedy(m, feats, max_len=greedy_len,
+                                      theta=theta)
+            greedy_q.add_batch_ids(caps.numpy(), greedy_ids)
+            for i in range(len(caps)):
+                seq, ok = torch_beam(m, feats[i], max_steps=beam_max_steps,
+                                     theta=theta)
+                total += 1
+                if ok:
+                    completed += 1
+                    beam_q.add_batch_ids(caps[i : i + 1].numpy(),
+                                         np.asarray(seq)[None])
+    out = {f"tf_{k}": v for k, v in tf_q.compute().items()}
+    out.update({f"greedy_{k}": v for k, v in greedy_q.compute().items()})
+    out.update({f"beam_corpus_{k}": v for k, v in beam_q.compute().items()})
+    out["beam_completed"] = completed
+    out["beam_total"] = total
+    return out
+
+
+def phase_torch(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    vocab, data = build_data(args.images)
+    feats_np = np.load(feature_path(args.images)).astype(np.float32)
+    with open(os.path.join(OUT_DIR, f"init_{args.model}.pkl"), "rb") as f:
+        init = pickle.load(f)
+
+    torch.manual_seed(args.seed)
+    m = make_torch_captioner(len(vocab))
+    if args.model == "gru":
+        load_decoder_into_torch(m, init)
+        hn = None
+        params = list(m.parameters())
+    else:
+        load_decoder_into_torch(m, init["decoder"])
+        hn = TorchHyperNet(init["hn"])
+        # configure_optimizers parity (hypernet_attention.py:123-133):
+        # hn + feature_fc/embed/fc/attention/init_h; NOT the gru cell
+        params = hn.parameters() + [
+            p for mod in (m.ff1, m.ff2, m.embed, m.fc, m.W_a, m.U_a,
+                          m.v_a, m.init_h)
+            for p in mod.parameters()
+        ]
+    opt = torch.optim.Adam(params, lr=args.lr)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, factor=0.5, cooldown=2
+    )
+    pad = vocab.w2i["<pad>"]
+    train_idx, val_idx, test_idx = data.splits(seed=args.seed)
+    style = "factual" if args.model == "gru" else "random"
+
+    def theta_for_batch(batch):
+        sid = int(batch["style_id"]) if "style_id" in batch else None
+        if hn is None or sid is None:
+            return None
+        return hn(m.embed.weight[sid])
+
+    history = {}
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        ep_loss, n = 0.0, 0
+        for b in inject(
+            data.batches(train_idx, args.batch_size, style=style,
+                         seed=args.seed + epoch, with_images=False),
+            feats_np,
+        ):
+            feats = torch.from_numpy(b["features"])
+            caps = torch.from_numpy(b["captions"]).long()
+            theta = theta_for_batch(b)
+            logits = torch_teacher_forced(m, feats, caps, theta)
+            loss = torch.nn.functional.cross_entropy(
+                logits.view(-1, logits.shape[-1]), caps.view(-1),
+                ignore_index=pad,
+            )
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(params, 5.0)
+            opt.step()
+            ep_loss += float(loss.detach())
+            n += 1
+        with torch.no_grad():
+            val_loss, vn = 0.0, 0
+            for b in eval_batches(data, val_idx, args.batch_size, style,
+                                  feats_np):
+                feats = torch.from_numpy(b["features"])
+                caps = torch.from_numpy(b["captions"]).long()
+                logits = torch_teacher_forced(m, feats, caps,
+                                              theta_for_batch(b))
+                val_loss += float(torch.nn.functional.cross_entropy(
+                    logits.view(-1, logits.shape[-1]), caps.view(-1),
+                    ignore_index=pad,
+                ))
+                vn += 1
+        val_loss /= max(vn, 1)
+        sched.step(val_loss)
+        history[epoch] = {"train_loss_epoch": ep_loss / max(n, 1),
+                          "val_loss_tf": val_loss,
+                          "lr": opt.param_groups[0]["lr"]}
+        print(f"torch epoch {epoch}: train {ep_loss / max(n, 1):.4f} "
+              f"val_tf {val_loss:.4f} ({time.time() - t0:.0f}s)", flush=True)
+    results = {"history": history, "train_seconds": time.time() - t0}
+    eval_styles = STYLES if args.model == "hypernet" else ("factual",)
+    for st in eval_styles:
+        sid = vocab(st)
+        theta_fn = (None if hn is None
+                    else (lambda mm, b, s=sid: hn(mm.embed.weight[s])))
+        res = torch_eval(
+            m, vocab,
+            eval_batches(data, test_idx, args.batch_size, st, feats_np),
+            theta_fn=theta_fn,
+        )
+        results[f"test_{st}"] = res
+        print(st, {k: round(v, 4) for k, v in res.items()
+                   if "cider" in k or "bleu1" in k or "completed" in k},
+              flush=True)
+    with open(os.path.join(OUT_DIR, f"{args.model}_torch.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print("torch done")
+
+
+# ----------------------------------------------------------- crosscheck
+def phase_crosscheck(args):
+    """jax-trained weights through the torch reference beam vs
+    captionax's beam: token-level agreement on the real test split."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    from captionax.decode.search import beam_search
+
+    vocab, data = build_data(args.images)
+    feats_np = np.load(feature_path(args.images)).astype(np.float32)
+    with open(os.path.join(OUT_DIR, f"trained_{args.model}_jax.pkl"), "rb") as f:
+        trained = pickle.load(f)
+    dec = trained if args.model == "gru" else trained["decoder"]
+    m = make_torch_captioner(len(vocab))
+    load_decoder_into_torch(m, dec)
+    _, _, test_idx = data.splits(seed=args.seed)
+    theta = None
+    if args.model == "hypernet":
+        from captionax.models.hypernet import hypernet_apply
+
+        sid = vocab("factual")
+        theta = jax.tree_util.tree_map(
+            np.asarray,
+            hypernet_apply(trained["hn"], np.asarray(dec["embed"])[sid]),
+        )
+    n_same = n_diff = n_found_mismatch = 0
+    token0_hits = 0
+    sample = test_idx[: args.crosscheck_images]
+    f = feats_np[np.asarray(sample)]
+    res = beam_search(
+        dec, f, k=3, max_steps=50,
+        gru_params=None if theta is None else
+        jax.tree_util.tree_map(lambda x: np.asarray(x), theta),
+    )
+    found = np.asarray(res.found)
+    toks = np.asarray(res.tokens)
+    lens = np.asarray(res.lengths)
+    tt = (None if theta is None else
+          {k: torch.from_numpy(np.asarray(v)) for k, v in theta.items()})
+    for j in range(len(sample)):
+        seq, ok = torch_beam(m, torch.from_numpy(f[j]), theta=tt)
+        if ok != bool(found[j]):
+            n_found_mismatch += 1
+            continue
+        if not ok:
+            continue
+        got = toks[j][: lens[j]].tolist()
+        if got == seq:
+            n_same += 1
+        else:
+            n_diff += 1
+        token0_hits += sum(1 for t in seq[1:] if t == 0)
+    out = {
+        "images": len(sample),
+        "beam_token_identical": n_same,
+        "beam_token_diff": n_diff,
+        "found_flag_mismatch": n_found_mismatch,
+        "mid_decode_pad_tokens": token0_hits,
+    }
+    with open(os.path.join(OUT_DIR, f"{args.model}_crosscheck.json"), "w") as f2:
+        json.dump(out, f2, indent=1)
+    print(json.dumps(out))
+
+
+def phase_report(args):
+    rows = {}
+    for side in ("jax", "torch"):
+        path = os.path.join(OUT_DIR, f"{args.model}_{side}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                rows[side] = json.load(f)
+    print(f"== parity report: {args.model} ==")
+    for st in (STYLES if args.model == "hypernet" else ("factual",)):
+        for metric in ("tf_cider", "tf_bleu1", "greedy_cider",
+                       "beam_corpus_cider", "beam_completed"):
+            vals = {}
+            for side, r in rows.items():
+                t = r.get(f"test_{st}", {})
+                vals[side] = t.get(metric, t.get(metric.replace("greedy_", "tf_")))
+            if "jax" in vals and "torch" in vals and vals["jax"] is not None \
+                    and vals["torch"] is not None:
+                delta = vals["jax"] - vals["torch"]
+                print(f"{st:9s} {metric:18s} jax={vals['jax']:.4f} "
+                      f"torch={vals['torch']:.4f} delta={delta:+.4f}")
+    cc = os.path.join(OUT_DIR, f"{args.model}_crosscheck.json")
+    if os.path.exists(cc):
+        with open(cc) as f:
+            print("crosscheck:", f.read().strip())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", choices=["gru", "hypernet"], default="gru")
+    p.add_argument("--images", type=int, default=2000)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dump-chunk", type=int, default=128)
+    p.add_argument("--crosscheck-images", type=int, default=64)
+    p.add_argument("--phase", default="all",
+                   choices=["all", "dump", "jax", "torch", "crosscheck",
+                            "report"])
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="cpu forces the JAX phases onto the host "
+                        "(smoke tests); default uses the TPU when present")
+    args = p.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    phases = ([args.phase] if args.phase != "all"
+              else ["dump", "jax", "torch", "crosscheck", "report"])
+    for ph in phases:
+        if ph == "dump" and os.path.exists(feature_path(args.images)):
+            print("dump exists, skipping")
+            continue
+        globals()[f"phase_{ph}"](args)
+
+
+if __name__ == "__main__":
+    main()
