@@ -12,7 +12,7 @@ stages dominate caption-length text, so scores differ only marginally.
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, Set, Tuple
+from typing import Callable, List, Optional, Sequence, Set, Tuple
 
 try:  # pure-code stemmer, no nltk data needed
     from nltk.stem.porter import PorterStemmer
@@ -63,9 +63,7 @@ def _match_stage(
     return matches, rem_hyp, rem_ref
 
 
-def _wordnet_stage(hyp, ref, wordnet):
-    """Greedy matching where words match if they share a WordNet synset."""
-
+def _make_wordnet_syns(wordnet) -> Callable[[str], Set[str]]:
     def syns(word: str) -> Set[str]:
         lemmas = set()
         for ss in wordnet.synsets(word):
@@ -75,6 +73,14 @@ def _wordnet_stage(hyp, ref, wordnet):
         lemmas.add(word)
         return lemmas
 
+    return syns
+
+
+def _wordnet_stage(hyp, ref, syns):
+    """Greedy matching where words match if ref's word is in the
+    hypothesis word's synonym set (``syns(word) -> set`` — the real
+    WordNet corpus when installed, or a user-supplied table such as
+    captionax.eval.wordnet_lite.lite_syns)."""
     matches = []
     rem_hyp = list(hyp)
     rem_ref = list(ref)
@@ -115,8 +121,15 @@ def meteor_score(
     alpha: float = 0.9,
     beta: float = 3.0,
     gamma: float = 0.5,
+    synonyms: Optional[Callable[[str], Set[str]]] = None,
 ) -> float:
-    """Single-reference METEOR.  Accepts strings or pre-split token lists."""
+    """Single-reference METEOR.  Accepts strings or pre-split token lists.
+
+    ``synonyms``: optional ``word -> set-of-synonyms`` for the stage-3
+    match when the real WordNet corpus is absent (e.g.
+    captionax.eval.wordnet_lite.lite_syns — a curated caption-domain
+    approximation; see benchmarks/meteor_wordnet_delta.py for its
+    measured effect).  The installed nltk WordNet takes precedence."""
     hyp_words = prediction.split() if isinstance(prediction, str) else list(prediction)
     ref_words = reference.split() if isinstance(reference, str) else list(reference)
     hyp = list(enumerate(hyp_words))
@@ -126,8 +139,9 @@ def meteor_score(
     stem_matches, hyp, ref = _match_stage(hyp, ref, _STEM)
     matches += stem_matches
     wordnet = _get_wordnet()
-    if wordnet and hyp and ref:
-        wn_matches, hyp, ref = _wordnet_stage(hyp, ref, wordnet)
+    syns = _make_wordnet_syns(wordnet) if wordnet else synonyms
+    if syns is not None and hyp and ref:
+        wn_matches, hyp, ref = _wordnet_stage(hyp, ref, syns)
         matches += wn_matches
 
     m = len(matches)

@@ -176,3 +176,54 @@ class TestMetricScore:
         # prediction drops <s> alignment => near-perfect overlap
         assert out["bleu1"] > 0.8
         assert out["cider"] >= 0.0
+
+
+class TestMeteorSynonymStage:
+    """The pluggable stage-3 synonym match (WordNet absent in-image;
+    measured effect: benchmarks/meteor_wordnet_delta.py, BASELINE.md)."""
+
+    def test_lite_synonyms_add_matches(self):
+        from captionax.eval.meteor import meteor_score
+        from captionax.eval.wordnet_lite import lite_syns
+
+        base = meteor_score("a kid climbs the rock", "a child climbs the stone")
+        with_syn = meteor_score("a kid climbs the rock",
+                                "a child climbs the stone",
+                                synonyms=lite_syns)
+        assert with_syn > base
+        # kid~child and rock~stone both match -> perfect alignment
+        assert math.isclose(with_syn, 1 - 0.5 * (1 / 5) ** 3, rel_tol=1e-9)
+
+    def test_lite_table_is_symmetric_and_reflexive(self):
+        from captionax.eval.wordnet_lite import LITE_SYNONYMS
+
+        for w, syns in LITE_SYNONYMS.items():
+            assert w in syns
+            for s in syns:
+                if s in LITE_SYNONYMS:
+                    assert w in LITE_SYNONYMS[s], (w, s)
+
+    def test_without_synonyms_unchanged(self):
+        from captionax.eval.meteor import meteor_score
+
+        # default path (no wordnet, no table) stays exact+stem
+        assert meteor_score("a kid runs", "a child runs") < 1.0
+
+    def test_measured_delta_is_marginal(self):
+        """The curated-table delta on real caption pairs stays small —
+        the quantified version of round 1's 'marginal' claim."""
+        from benchmarks.meteor_wordnet_delta import base_and_ub
+        from captionax.data.flickr import load_factual_captions
+        from captionax.eval.meteor import meteor_score
+        from captionax.eval.wordnet_lite import lite_syns
+
+        caps = load_factual_captions(
+            "/root/reference/data/factual_train.txt")
+        deltas = []
+        for i in range(150):
+            p = caps[i * 5][1].lower()
+            r = caps[i * 5 + 1][1].lower()
+            b, _ = base_and_ub(p, r)
+            deltas.append(meteor_score(p, r, synonyms=lite_syns) - b)
+        mean_delta = sum(deltas) / len(deltas)
+        assert 0.0 <= mean_delta < 0.03
