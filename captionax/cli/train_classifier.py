@@ -52,6 +52,9 @@ def main(argv=None):
     parser.add_argument("--bert-hidden", type=int, default=768)
     parser.add_argument("--bert-layers", type=int, default=12)
     parser.add_argument("--bert-weights", type=str, default="")
+    parser.add_argument("--save", type=str, default="",
+                        help="pickle the trained classifier params here "
+                             "(consumed by train_hypernet --mixup)")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -150,6 +153,7 @@ def main(argv=None):
                 if gstep % train_cfg.log_every == 0:
                     logger.log({"train_loss": float(loss)}, gstep)
             print(f"epoch {epoch} loss {float(loss):.4f}")
+        _maybe_save(args.save, state.params)
         return state
 
     import random as _r
@@ -187,7 +191,19 @@ def main(argv=None):
                 logger.log({"train_loss": float(loss)}, gstep)
         acc = correct / max(total, 1)
         print(f"epoch {epoch} loss {float(loss):.4f} sampled-acc {acc:.3f}")
+    _maybe_save(args.save, state.params)
     return state
+
+
+def _maybe_save(path: str, params) -> None:
+    if not path:
+        return
+    import pickle
+
+    host = jax.tree_util.tree_map(np.asarray, params)
+    with open(path, "wb") as f:
+        pickle.dump(host, f)
+    print(f"saved classifier params -> {path}")
 
 
 if __name__ == "__main__":

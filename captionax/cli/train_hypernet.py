@@ -28,6 +28,10 @@ def main(argv=None):
     parser = make_parser(__doc__)
     parser.add_argument("--encoder-weights", type=str, default="",
                         help="torchvision resnet state_dict (.pt) to fold")
+    parser.add_argument("--style-classifier", type=str, default="",
+                        help="pickled small style classifier params "
+                             "(cli/train_classifier --kind small --save); "
+                             "required with --mixup")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -42,9 +46,18 @@ def main(argv=None):
     params = maybe_load_glove(params, data_cfg, vocab, model_cfg.embed_size)
     encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
 
+    clf_params = None
+    if train_cfg.mixup:
+        import pickle
+
+        assert args.style_classifier, "--mixup requires --style-classifier"
+        with open(args.style_classifier, "rb") as f:
+            clf_params = pickle.load(f)
+
     trainer = CaptionTrainer(
         params, "hypernet", train_cfg, vocab,
         encoder_params=encoder_params, run_name=args.run_name,
+        style_classifier_params=clf_params,
     )
     if args.resume:
         resumed = trainer.maybe_resume(args.resume if args.resume != "auto" else None)

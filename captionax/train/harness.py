@@ -95,6 +95,7 @@ class CaptionTrainer:
         mesh=None,
         logger: Optional[MetricLogger] = None,
         run_name: str = "run",
+        style_classifier_params=None,
     ):
         self.config = config
         self.vocab = vocab
@@ -115,6 +116,27 @@ class CaptionTrainer:
                 self.tx, embed_fn=embed_fn, bf16=config.bf16_compute,
                 unroll=config.scan_unroll,
             )
+            if config.mixup:
+                # mixup training (hypernet_attention.py:147-191): the
+                # style-mixed free-running caption is scored by a FROZEN
+                # small style classifier; rng is derived from the
+                # optimizer step so the 2-arg (state, batch) jit
+                # signature (and donation/mesh plumbing) is unchanged
+                assert style_classifier_params is not None, (
+                    "config.mixup needs style_classifier_params "
+                    "(train one: cli/train_classifier --kind small --save)"
+                )
+                from captionax.train.steps import make_hypernet_mixup_steps
+
+                mix_step = make_hypernet_mixup_steps(
+                    self.tx, style_classifier_params,
+                    alpha=config.mixup_alpha, embed_fn=embed_fn,
+                )
+                base_key = jax.random.PRNGKey(config.seed)
+
+                def train_step(state, batch, _mix=mix_step, _key=base_key):
+                    rng = jax.random.fold_in(_key, state.step)
+                    return _mix(state, batch, rng)
         if mesh is not None:
             self._train_step = None  # jitted lazily with example batch
             self._raw_train_step = train_step

@@ -96,6 +96,19 @@ class TestCoreClis:
 
         assert main(args(tmp_path))
 
+    def test_train_hypernet_mixup(self, tmp_path):
+        """classifier --save -> train_hypernet --mixup consumes it
+        (hypernet_attention.py:147-191 with the frozen style scorer)."""
+        from captionax.cli.train_classifier import main as clf_main
+        from captionax.cli.train_hypernet import main as hn_main
+
+        clf = tmp_path / "clf.pkl"
+        clf_main(args(tmp_path, "--kind", "small", "--save", str(clf)))
+        assert clf.exists()
+        hist = hn_main(args(tmp_path, "--mixup", "--styled-fixture",
+                            "--style-classifier", str(clf)))
+        assert all("train_loss_epoch" in h for h in hist.values())
+
     def test_cc_train_hypernet(self, tmp_path):
         from captionax.cli.cc_train_hypernet import main
 
