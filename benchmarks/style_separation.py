@@ -1,0 +1,228 @@
+"""Style separation of the 3-style FlickrStyle hypernet, measured.
+
+The flagship capability (/root/reference/hypernet_attention.py) is ONE
+set of decoder weights per style, synthesized by the hypernet from the
+style token embedding.  "Does the style conditioning do anything?" is
+answered here with a classifier-based separation score, the same idea
+the reference's optional mixup loss uses a BERT classifier for
+(hypernet_attention.py:147-191):
+
+1. ``clf``   — train the small style classifier (classifier.py
+   StyleClassifer equivalent) on ground-truth styled-fixture captions;
+   report held-out accuracy (its ceiling as a style probe).
+2. ``gen``   — load a trained hypernet (default: the parity-harness
+   artifact), beam-decode the SAME test images under each of the three
+   styles, classify every generated caption, and report the per-style
+   prediction matrix + overall accuracy (chance = 1/3) and the
+   cross-style divergence (fraction of image pairs whose captions
+   differ between styles).
+3. ``report`` — print the stored JSON.
+
+Shares the dataset/features with benchmarks/parity_quality.py (same
+2000 synthetic images over the real 35k captions + real vocab).
+
+    python benchmarks/style_separation.py --phase clf
+    python benchmarks/style_separation.py --phase gen \
+        --hypernet benchmarks/_parity/trained_hypernet_jax.pkl --tag parity
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parity_quality import OUT_DIR, build_data, feature_path  # noqa: E402
+
+STYLES = ("factual", "humour", "romantic")
+CLF_PATH = os.path.join(OUT_DIR, "style_clf.pkl")
+
+
+def phase_clf(args):
+    """Train + evaluate the style probe on ground-truth captions."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from captionax.models.classifiers import (
+        small_style_classifier_apply,
+        small_style_classifier_init,
+    )
+    from captionax.train.state import create_train_state, make_optimizer
+
+    vocab, data = build_data(args.images)
+    train_idx, val_idx, test_idx = data.splits(seed=args.seed)
+    T = 25
+
+    def examples(indices):
+        import random as _r
+
+        rng = _r.Random(args.seed)
+        ids_, labels = [], []
+        for i in indices:
+            for s, style in enumerate(STYLES):
+                row = np.zeros((T,), np.int32)
+                enc = data.caption_ids(style, i, rng=rng)[:T]
+                row[: len(enc)] = enc
+                ids_.append(row)
+                labels.append(s)
+        return np.stack(ids_), np.asarray(labels, np.int32)
+
+    Xtr, ytr = examples(train_idx)
+    Xte, yte = examples(test_idx)
+    key = jax.random.PRNGKey(args.seed)
+    params = small_style_classifier_init(key, len(vocab), 64, 3)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(params, tx)
+
+    @jax.jit
+    def step(state, ids, labels):
+        def loss_fn(p):
+            probs = small_style_classifier_apply(p, ids)
+            return -jnp.mean(
+                jnp.log(probs[jnp.arange(len(labels)), labels] + 1e-9)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads, tx), loss
+
+    B = 256
+    rng = np.random.default_rng(args.seed)
+    t0 = time.time()
+    for epoch in range(args.clf_epochs):
+        perm = rng.permutation(len(Xtr))
+        for s in range(0, len(perm) - B, B):
+            idx = perm[s : s + B]
+            state, loss = step(state, Xtr[idx], ytr[idx])
+        pred = np.asarray(
+            small_style_classifier_apply(state.params, Xte)
+        ).argmax(-1)
+        acc = float((pred == yte).mean())
+        print(f"clf epoch {epoch}: loss {float(loss):.4f} "
+              f"held-out acc {acc:.4f} ({time.time() - t0:.0f}s)",
+              flush=True)
+    host = jax.tree_util.tree_map(np.asarray, state.params)
+    with open(CLF_PATH, "wb") as f:
+        pickle.dump(host, f)
+    with open(os.path.join(OUT_DIR, "style_clf.json"), "w") as f:
+        json.dump({"held_out_acc": acc, "n_test": len(yte)}, f)
+    print(f"saved {CLF_PATH}; ground-truth held-out acc {acc:.4f}")
+
+
+def phase_gen(args):
+    """Per-style generation -> classify -> separation numbers."""
+    from captionax.core.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+
+    from captionax.decode.search import beam_search
+    from captionax.models.classifiers import small_style_classifier_apply
+    from captionax.models.hypernet import hypernet_apply
+
+    vocab, data = build_data(args.images)
+    feats = np.load(feature_path(args.images)).astype(np.float32)
+    _, _, test_idx = data.splits(seed=args.seed)
+    with open(args.hypernet, "rb") as f:
+        params = pickle.load(f)
+    with open(CLF_PATH, "rb") as f:
+        clf = pickle.load(f)
+
+    beam_fn = jax.jit(
+        lambda p, f_, th: beam_search(p, f_, k=3, max_steps=args.max_steps,
+                                      gru_params=th)
+    )
+    T = 25
+    sid = {s: int(vocab(s)) for s in STYLES}
+    caps_by_style = {}
+    for style in STYLES:
+        theta = hypernet_apply(
+            params["hn"],
+            np.asarray(params["decoder"]["embed"])[sid[style]],
+        )
+        toks = []
+        B = args.batch_size
+        idx = list(test_idx)
+        for s in range(0, len(idx), B):
+            chunk = idx[s : s + B]
+            f_ = feats[chunk]
+            if len(chunk) < B:  # keep one compiled shape
+                f_ = np.concatenate(
+                    [f_, np.zeros((B - len(chunk),) + f_.shape[1:],
+                                  f_.dtype)]
+                )
+            res = beam_fn(params["decoder"], f_, theta)
+            toks.append(np.asarray(res.tokens)[: len(chunk)])
+        caps_by_style[style] = np.concatenate(toks)
+        print(f"generated {style}: {caps_by_style[style].shape}", flush=True)
+
+    # classify generated captions (pad/crop to the probe's T)
+    out = {"hypernet": args.hypernet, "images": len(test_idx),
+           "matrix": {}, "per_style_acc": {}}
+    correct = total = 0
+    for s, style in enumerate(STYLES):
+        ids = np.zeros((len(test_idx), T), np.int32)
+        raw = caps_by_style[style][:, 1:]  # drop the leading start token
+        ids[:, : min(T, raw.shape[1])] = raw[:, :T]
+        pred = np.asarray(small_style_classifier_apply(clf, ids)).argmax(-1)
+        row = [float((pred == k).mean()) for k in range(3)]
+        out["matrix"][style] = row
+        out["per_style_acc"][style] = row[s]
+        correct += int((pred == s).sum())
+        total += len(pred)
+        print(f"{style}: classified as f/h/r = "
+              f"{row[0]:.3f}/{row[1]:.3f}/{row[2]:.3f}", flush=True)
+    out["overall_acc"] = correct / max(total, 1)
+    out["chance"] = 1.0 / 3.0
+
+    # divergence: same image, different styles -> different caption?
+    pairs = [("factual", "humour"), ("factual", "romantic"),
+             ("humour", "romantic")]
+    div = {}
+    for a, b in pairs:
+        diff = (caps_by_style[a] != caps_by_style[b]).any(axis=1)
+        div[f"{a}-vs-{b}"] = float(diff.mean())
+    out["caption_divergence"] = div
+    tag = args.tag or "run"
+    path = os.path.join(OUT_DIR, f"style_separation_{tag}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("overall_acc", "per_style_acc",
+                       "caption_divergence")}))
+    print(f"wrote {path}")
+
+
+def phase_report(args):
+    for name in sorted(os.listdir(OUT_DIR)):
+        if name.startswith("style_separation") or name == "style_clf.json":
+            with open(os.path.join(OUT_DIR, name)) as f:
+                print(name, "=>", f.read().strip())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--phase", choices=["clf", "gen", "report"],
+                   default="report")
+    p.add_argument("--images", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clf-epochs", type=int, default=5)
+    p.add_argument("--hypernet", type=str,
+                   default=os.path.join(OUT_DIR, "trained_hypernet_jax.pkl"))
+    p.add_argument("--tag", type=str, default="")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--max-steps", type=int, default=20)
+    args = p.parse_args(argv)
+    {"clf": phase_clf, "gen": phase_gen, "report": phase_report}[args.phase](args)
+
+
+if __name__ == "__main__":
+    main()
