@@ -5,10 +5,20 @@ synchronous submit->fetch loop wastes ~40% of wall-clock at B=1024.
 :class:`PipelinedDecoder` keeps one dispatch in flight: while the device
 decodes batch i+1, the host fetches batch i — stream throughput approaches
 the kernel's marginal rate.
+
+For 1-at-a-time arrivals the same floor dominates per-REQUEST latency:
+a dedicated dispatch per request can never beat ~28 ms and collapses
+under load (every request pays the full floor serially).
+:class:`MicroBatcher` instead coalesces every request that arrives
+during the current dispatch window into the next fixed-shape batch —
+the floor is paid once per WINDOW, not per request, so sustainable
+throughput is batch-rate while individual latency stays ~1-2 windows.
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Callable, Iterable, Iterator, Optional
 
 import jax
@@ -40,6 +50,91 @@ class PipelinedDecoder:
             pending = result
         if pending is not None:
             yield jax.tree_util.tree_map(np.asarray, pending)
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-caption requests into fixed-shape
+    dispatches.
+
+    ``decode_fn(features[, style_rows]) -> result pytree`` must be a
+    jitted fixed-batch function (one compiled shape — padding rows are
+    decoded and discarded, which is free: the kernel's cost is set by
+    the batch shape either way).  ``submit()`` is thread-safe and
+    returns a ``concurrent.futures.Future`` resolving to the request's
+    slice of the result pytree (leading batch axis stripped).
+
+    One worker thread owns the device: it drains every queued request
+    (up to ``batch_size``), dispatches, fetches, and resolves futures.
+    While a dispatch is in flight new arrivals accumulate — under load
+    the effective per-request cost approaches dispatch_floor /
+    batch_size instead of dispatch_floor (measured in
+    ``benchmarks/latency_packing.py``).
+    """
+
+    def __init__(
+        self,
+        decode_fn: Callable,
+        batch_size: int,
+        feature_shape,
+        styled: bool = False,
+        feature_dtype=np.float32,
+    ):
+        self.decode_fn = decode_fn
+        self.B = batch_size
+        self.styled = styled
+        self._feats = np.zeros((batch_size,) + tuple(feature_shape),
+                               feature_dtype)
+        self._rows = np.zeros((batch_size,), np.int32)
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, features: np.ndarray, style_row: int = 0):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self._q.put((features, style_row, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        self._thread.join(timeout=10)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _loop(self):
+        while not self._stop.is_set():
+            item = self._q.get()
+            if item is None:
+                continue
+            pending = [item]
+            while len(pending) < self.B:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is not None:
+                    pending.append(nxt)
+            n = len(pending)
+            for i, (f, row, _) in enumerate(pending):
+                self._feats[i] = f
+                self._rows[i] = row
+            self._feats[n:] = 0.0
+            if self.styled:
+                res = self.decode_fn(self._feats, self._rows)
+            else:
+                res = self.decode_fn(self._feats)
+            host = jax.tree_util.tree_map(np.asarray, res)
+            for i, (_, _, fut) in enumerate(pending):
+                fut.set_result(
+                    jax.tree_util.tree_map(lambda a, i=i: a[i], host)
+                )
 
 
 def pack_beam_result(res):

@@ -74,6 +74,62 @@ def _theta_bank(key, n=3):
     return jtu.tree_map(lambda *xs: jnp.stack(xs), *thetas)
 
 
+class TestMicroBatcher:
+    """Request coalescing: concurrent submits -> fixed-shape dispatches,
+    per-request results identical to a direct single decode."""
+
+    def _params(self):
+        params = dec.attention_gru_init(jax.random.PRNGKey(0), NF, F, E, H, V)
+        params["fc"]["b"] = params["fc"]["b"].at[2].add(1.0)
+        return params
+
+    def test_concurrent_submits_match_direct(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from captionax.decode.search import beam_search
+        from captionax.decode.serving import MicroBatcher
+
+        params = self._params()
+        BS = 4
+        fn = jax.jit(lambda f: beam_search(params, f, k=3, max_steps=10))
+        reqs = [np.asarray(jax.random.normal(jax.random.PRNGKey(i), (R, NF)))
+                for i in range(11)]  # not a multiple of BS -> padded tail
+        with MicroBatcher(fn, BS, (R, NF)) as mb:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                futs = list(pool.map(mb.submit, reqs))
+            outs = [f.result(timeout=60) for f in futs]
+        ref = beam_search(params, np.stack(reqs), k=3, max_steps=10)
+        for i, o in enumerate(outs):
+            np.testing.assert_array_equal(o.tokens, np.asarray(ref.tokens)[i])
+            assert bool(o.found) == bool(np.asarray(ref.found)[i])
+
+    def test_styled_rows_route_correctly(self):
+        from captionax.decode.search import greedy
+        from captionax.decode.serving import MicroBatcher
+        from captionax.models.hypernet import hypernet_init
+        from captionax.train.steps import synthesize_theta_batched
+
+        params = self._params()
+        hn = hypernet_init(jax.random.PRNGKey(1), hyper_emb=E,
+                           input_dim=E + F, hidden_dim=H)
+        style_embeds = np.asarray(params["embed"])[np.arange(3)]
+        bank = synthesize_theta_batched({"hn": hn}, style_embeds)
+        fn = jax.jit(lambda f, rows: greedy(
+            params, f, max_len=8,
+            gru_params=jax.tree_util.tree_map(lambda t: t[rows], bank),
+        ))
+        reqs = [np.asarray(jax.random.normal(jax.random.PRNGKey(i), (R, NF)))
+                for i in range(5)]
+        rows = [i % 3 for i in range(5)]
+        with MicroBatcher(fn, 4, (R, NF), styled=True) as mb:
+            futs = [mb.submit(f, style_row=r) for f, r in zip(reqs, rows)]
+            outs = [f.result(timeout=60) for f in futs]
+        for f, r, o in zip(reqs, rows, outs):
+            theta = jax.tree_util.tree_map(lambda t, r=r: t[r], bank)
+            ref = greedy(params, f[None], max_len=8, gru_params=theta)
+            np.testing.assert_array_equal(o, np.asarray(ref)[0])
+
+
 class TestMixedStyleServing:
     """Theta-bank servers: the stream takes (features, style_rows) and
     must match per-image-theta decoding."""
