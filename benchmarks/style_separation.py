@@ -201,6 +201,52 @@ def phase_gen(args):
     print(f"wrote {path}")
 
 
+def phase_mixup_train(args):
+    """Train the hypernet WITH the mixup style loss (alpha=0.3, the
+    reference's optional path, hypernet_attention.py:147-191) on the
+    identical data/seed as the parity run, so ``gen --tag mixup`` can
+    measure what the auxiliary loss buys in separation."""
+    from captionax.core.runtime import setup_runtime
+
+    setup_runtime()
+    import jax
+
+    from captionax.cli.common import build_hypernet_model
+    from captionax.core.config import ModelConfig, TrainConfig
+    from captionax.train.harness import CaptionTrainer
+    from parity_quality import eval_batches, inject
+
+    vocab, data = build_data(args.images)
+    feats = np.load(feature_path(args.images)).astype(np.float32)
+    model_cfg = ModelConfig(vocab_size=len(vocab))
+    cfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
+        seed=args.seed, mixup=True, mixup_alpha=args.alpha,
+        checkpoint_dir=os.path.join(OUT_DIR, "ckpt_mixup"),
+    )
+    with open(CLF_PATH, "rb") as f:
+        clf = pickle.load(f)
+    params = build_hypernet_model(model_cfg, vocab, jax.random.PRNGKey(args.seed),
+                                  hyper_emb=model_cfg.embed_size)
+    trainer = CaptionTrainer(params, "hypernet", cfg, vocab,
+                             run_name="mixup", style_classifier_params=clf)
+    train_idx, val_idx, _ = data.splits(seed=args.seed)
+    t0 = time.time()
+    trainer.fit(
+        lambda epoch: inject(
+            data.batches(train_idx, args.batch_size, style="random",
+                         seed=args.seed + epoch, with_images=False),
+            feats,
+        ),
+        lambda: eval_batches(data, val_idx, args.batch_size, "random",
+                             feats),
+    )
+    host = jax.tree_util.tree_map(np.asarray, trainer.params)
+    with open(os.path.join(OUT_DIR, "trained_hypernet_mixup.pkl"), "wb") as f:
+        pickle.dump(host, f)
+    print(f"mixup-trained hypernet saved ({time.time() - t0:.0f}s)")
+
+
 def phase_report(args):
     for name in sorted(os.listdir(OUT_DIR)):
         if name.startswith("style_separation") or name == "style_clf.json":
@@ -210,8 +256,12 @@ def phase_report(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--phase", choices=["clf", "gen", "report"],
+    p.add_argument("--phase",
+                   choices=["clf", "gen", "mixup-train", "report"],
                    default="report")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--alpha", type=float, default=0.3)
     p.add_argument("--images", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--clf-epochs", type=int, default=5)
@@ -221,7 +271,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--max-steps", type=int, default=20)
     args = p.parse_args(argv)
-    {"clf": phase_clf, "gen": phase_gen, "report": phase_report}[args.phase](args)
+    {"clf": phase_clf, "gen": phase_gen, "mixup-train": phase_mixup_train,
+     "report": phase_report}[args.phase](args)
 
 
 if __name__ == "__main__":
