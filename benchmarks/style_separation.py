@@ -119,10 +119,14 @@ def phase_clf(args):
 
 def phase_gen(args):
     """Per-style generation -> classify -> separation numbers."""
-    from captionax.core.runtime import setup_runtime
-
-    setup_runtime()
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from captionax.core.runtime import setup_runtime
+
+        setup_runtime()
 
     from captionax.decode.search import beam_search
     from captionax.models.classifiers import small_style_classifier_apply
@@ -206,10 +210,14 @@ def phase_mixup_train(args):
     reference's optional path, hypernet_attention.py:147-191) on the
     identical data/seed as the parity run, so ``gen --tag mixup`` can
     measure what the auxiliary loss buys in separation."""
-    from captionax.core.runtime import setup_runtime
-
-    setup_runtime()
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from captionax.core.runtime import setup_runtime
+
+        setup_runtime()
 
     from captionax.cli.common import build_hypernet_model
     from captionax.core.config import ModelConfig, TrainConfig
@@ -260,6 +268,8 @@ def main(argv=None):
                    choices=["clf", "gen", "mixup-train", "report"],
                    default="report")
     p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (relay fallback)")
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--alpha", type=float, default=0.3)
     p.add_argument("--images", type=int, default=2000)
