@@ -37,11 +37,23 @@ FO = E = H = 200
 V = 9684
 
 
-def build(batch_size: int, max_steps: int):
+def build(batch_size: int, max_steps: int, payload: str = "f32"):
+    """payload selects what each REQUEST uploads through the relay —
+    the measured bottleneck (~30 MB/s + ~28 ms floor, so per-request
+    bytes dominate end-to-end latency):
+
+    - ``f32``   — [49, 2048] f32 features, 392 KB/request
+    - ``bf16``  — the same features in bfloat16, 196 KB/request
+      (upcast on device; beam kernel consumes f32)
+    - ``image`` — [224, 224, 3] uint8, 147 KB/request; the dispatch
+      runs preprocess + frozen ResNet-152 + beam on-device (the
+      production interface: callers hold images, not features)
+    """
     from captionax.core.runtime import setup_runtime
 
     setup_runtime()
     import jax
+    import jax.numpy as jnp
 
     from captionax.decode.serving import pack_beam_result
     from captionax.models import decoder as dec
@@ -49,30 +61,55 @@ def build(batch_size: int, max_steps: int):
     from captionax.ops.decode_kernel import fused_beam_search
     from captionax.train.steps import synthesize_theta
 
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     params = {
         "decoder": dec.attention_gru_init(k1, NF, FO, E, H, V),
         "hn": hypernet_init(k2, hyper_emb=E, input_dim=E + FO,
                             hidden_dim=H),
     }
     theta = jax.jit(synthesize_theta)(params, np.int32(4))
-    theta = jax.tree_util.tree_map(lambda x: np.asarray(x), theta)
 
-    def decode(f):
-        return pack_beam_result(fused_beam_search(
-            params["decoder"], f, gru_params=theta, max_steps=max_steps,
-        ))
+    # params/theta as jit ARGUMENTS (device-resident), never closed-over
+    # constants (CLAUDE.md relay rule: constants inflate the compile
+    # payload)
+    if payload == "image":
+        from captionax.data.transforms import preprocess_images
+        from captionax.models.encoder import encoder_cnn, resnet_init
 
-    fn = jax.jit(decode)
+        enc = jax.device_put(resnet_init(k3, depth=152))
+
+        @jax.jit
+        def decode(ep, dp, th, imgs):
+            f = encoder_cnn(ep, preprocess_images(imgs))
+            return pack_beam_result(fused_beam_search(
+                dp, f, gru_params=th, max_steps=max_steps,
+            ))
+
+        dp = jax.device_put(params["decoder"])
+        th = jax.device_put(theta)
+        fn = lambda x: decode(enc, dp, th, x)
+        req = np.random.default_rng(0).integers(
+            0, 256, size=(224, 224, 3), dtype=np.uint8)
+        req_shape, req_dtype = (224, 224, 3), np.uint8
+    else:
+        @jax.jit
+        def decode(dp, th, f):
+            f = f.astype(jnp.float32)
+            return pack_beam_result(fused_beam_search(
+                dp, f, gru_params=th, max_steps=max_steps,
+            ))
+
+        dp = jax.device_put(params["decoder"])
+        th = jax.device_put(theta)
+        fn = lambda x: decode(dp, th, x)
+        dt = jnp.bfloat16 if payload == "bf16" else np.float32
+        req = np.random.default_rng(0).normal(size=(R, NF)).astype(dt)
+        req_shape, req_dtype = (R, NF), dt
+
     # warm both compiled shapes
-    feats1 = np.random.default_rng(0).normal(
-        size=(1, R, NF)).astype(np.float32)
-    featsB = np.random.default_rng(0).normal(
-        size=(batch_size, R, NF)).astype(np.float32)
-    fn1 = jax.jit(decode)
-    np.asarray(fn1(feats1))
-    np.asarray(fn(featsB))
-    return fn1, fn, feats1
+    np.asarray(fn(req[None]))
+    np.asarray(fn(np.stack([req] * batch_size)))
+    return fn, req, req_shape, req_dtype
 
 
 def row(name, lat_ms, n, seconds, extra=None):
@@ -95,39 +132,44 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--max-steps", type=int, default=50)
     p.add_argument("--requests", type=int, default=200)
+    p.add_argument("--payload", type=str, default="f32",
+                   choices=["f32", "bf16", "image"])
     p.add_argument("--out", type=str,
                    default=os.path.join(os.path.dirname(__file__),
                                         "_parity", "latency_packing.json"))
     args = p.parse_args(argv)
 
-    fn1, fnB, feats1 = build(args.batch_size, args.max_steps)
+    fn, req, req_shape, req_dtype = build(args.batch_size, args.max_steps,
+                                          args.payload)
     rows = []
+    tag = f"{args.payload}"
 
     # 1) dedicated dispatch per request
     lats = []
     t0 = time.time()
     for _ in range(args.requests // 4):
         t = time.time()
-        np.asarray(fn1(feats1))  # fetch is the completion barrier
+        np.asarray(fn(req[None]))  # fetch is the completion barrier
         lats.append((time.time() - t) * 1e3)
-    rows.append(row("sequential_B1", lats, len(lats), time.time() - t0))
+    rows.append(row(f"sequential_B1_{tag}", lats, len(lats),
+                    time.time() - t0))
 
     # 2) MicroBatcher under closed-loop concurrency
     from concurrent.futures import ThreadPoolExecutor
 
     from captionax.decode.serving import MicroBatcher
 
-    feat_req = feats1[0]
     for clients in (1, 4, 16, 64):
         n = args.requests if clients > 1 else args.requests // 4
-        with MicroBatcher(fnB, args.batch_size, (R, NF)) as mb:
+        with MicroBatcher(fn, args.batch_size, req_shape,
+                          feature_dtype=req_dtype) as mb:
             lats = []
             lock = __import__("threading").Lock()
 
             def client(n_req):
                 for _ in range(n_req):
                     t = time.time()
-                    mb.submit(feat_req).result(timeout=120)
+                    mb.submit(req).result(timeout=120)
                     dt = (time.time() - t) * 1e3
                     with lock:
                         lats.append(dt)
@@ -137,15 +179,16 @@ def main(argv=None):
                 per = n // clients
                 list(pool.map(client, [per] * clients))
             rows.append(row(
-                f"microbatch_c{clients}", lats, len(lats),
+                f"microbatch_{tag}_c{clients}", lats, len(lats),
                 time.time() - t0,
                 {"clients": clients, "compiled_batch": args.batch_size},
             ))
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
+    out_path = args.out.replace(".json", f"_{tag}.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(rows, f, indent=1)
-    print(f"wrote {args.out}")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
