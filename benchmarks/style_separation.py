@@ -145,12 +145,15 @@ def phase_gen(args):
                                       gru_params=th)
     )
     T = 25
-    sid = {s: int(vocab(s)) for s in STYLES}
+    from captionax.train.steps import resolve_style_id, style_table
+
     caps_by_style = {}
     for style in STYLES:
         theta = hypernet_apply(
             params["hn"],
-            np.asarray(params["decoder"]["embed"])[sid[style]],
+            np.asarray(style_table(params))[
+                resolve_style_id(params, vocab, style)
+            ],
         )
         toks = []
         B = args.batch_size
@@ -255,6 +258,61 @@ def phase_mixup_train(args):
     print(f"mixup-trained hypernet saved ({time.time() - t0:.0f}s)")
 
 
+def phase_dedicated_train(args):
+    """Train the hypernet with the dedicated 3-row style table
+    (ModelConfig.dedicated_style_tokens — the opt-in fix for the
+    reference's 'humour'-><unk> conditioning) on the identical
+    data/seed as the parity run; ``gen --tag dedicated`` then measures
+    what decoupling humour's embedding from the OOV row buys."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from captionax.core.runtime import setup_runtime
+
+        setup_runtime()
+
+    from captionax.cli.common import build_hypernet_model
+    from captionax.core.config import ModelConfig, TrainConfig
+    from captionax.train.harness import CaptionTrainer
+    from captionax.train.steps import dedicated_style_embed
+    from parity_quality import eval_batches, inject
+
+    vocab, data = build_data(args.images)
+    data.dedicated_style_tokens = True
+    feats = np.load(feature_path(args.images)).astype(np.float32)
+    model_cfg = ModelConfig(vocab_size=len(vocab),
+                            dedicated_style_tokens=True)
+    cfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
+        seed=args.seed,
+        checkpoint_dir=os.path.join(OUT_DIR, "ckpt_dedicated"),
+    )
+    params = build_hypernet_model(model_cfg, vocab,
+                                  jax.random.PRNGKey(args.seed),
+                                  hyper_emb=model_cfg.embed_size)
+    trainer = CaptionTrainer(params, "hypernet", cfg, vocab,
+                             run_name="dedicated",
+                             embed_fn=dedicated_style_embed)
+    train_idx, val_idx, _ = data.splits(seed=args.seed)
+    t0 = time.time()
+    trainer.fit(
+        lambda epoch: inject(
+            data.batches(train_idx, args.batch_size, style="random",
+                         seed=args.seed + epoch, with_images=False),
+            feats,
+        ),
+        lambda: eval_batches(data, val_idx, args.batch_size, "random",
+                             feats),
+    )
+    host = jax.tree_util.tree_map(np.asarray, trainer.params)
+    with open(os.path.join(OUT_DIR, "trained_hypernet_dedicated.pkl"),
+              "wb") as f:
+        pickle.dump(host, f)
+    print(f"dedicated-token hypernet saved ({time.time() - t0:.0f}s)")
+
+
 def phase_report(args):
     for name in sorted(os.listdir(OUT_DIR)):
         if name.startswith("style_separation") or name == "style_clf.json":
@@ -265,7 +323,8 @@ def phase_report(args):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--phase",
-                   choices=["clf", "gen", "mixup-train", "report"],
+                   choices=["clf", "gen", "mixup-train", "dedicated-train",
+                            "report"],
                    default="report")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--cpu", action="store_true",
@@ -282,6 +341,7 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=20)
     args = p.parse_args(argv)
     {"clf": phase_clf, "gen": phase_gen, "mixup-train": phase_mixup_train,
+     "dedicated-train": phase_dedicated_train,
      "report": phase_report}[args.phase](args)
 
 

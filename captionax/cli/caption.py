@@ -85,7 +85,7 @@ def main(argv=None):
     from captionax.decode.serving import PipelinedDecoder
     from captionax.models.encoder import encoder_cnn
     from captionax.train.checkpoint import restore_checkpoint
-    from captionax.train.steps import synthesize_theta
+    from captionax.train.steps import resolve_style_id, synthesize_theta
 
     vocab = resolve_vocab(data_cfg)
     model_cfg.vocab_size = len(vocab)
@@ -151,7 +151,8 @@ def main(argv=None):
     n_out = 0
     with open(args.out, "w") as out:
         for style in styles:
-            theta = (synthesize_theta(params, np.int32(vocab(style)))
+            theta = (synthesize_theta(
+                params, np.int32(resolve_style_id(params, vocab, style)))
                      if args.kind == "hypernet" else None)
             server = PipelinedDecoder(lambda f, th=theta: jitted(th, f))
 
@@ -194,7 +195,11 @@ def _serve_requests(args, train_cfg, params, decoder, vocab, encode,
 
     from captionax.data.native_image import load_paths_batch
     from captionax.decode.serving import PipelinedDecoder, pack_beam_result
-    from captionax.train.steps import synthesize_theta_batched
+    from captionax.train.steps import (
+        resolve_style_id,
+        style_table,
+        synthesize_theta_batched,
+    )
 
     if args.kind != "hypernet":
         raise SystemExit("--requests needs --kind hypernet "
@@ -211,8 +216,10 @@ def _serve_requests(args, train_cfg, params, decoder, vocab, encode,
     def path_of(name):
         return name if os.path.isabs(name) else os.path.join(base, name)
 
-    style_ids = jnp.asarray([vocab(s) for s in styles], jnp.int32)
-    bank = synthesize_theta_batched(params, params["decoder"]["embed"][style_ids])
+    style_ids = jnp.asarray(
+        [resolve_style_id(params, vocab, s) for s in styles], jnp.int32
+    )
+    bank = synthesize_theta_batched(params, style_table(params)[style_ids])
 
     B = min(train_cfg.batch_size, len(reqs))
     if args.decode == "greedy":

@@ -119,8 +119,8 @@ def build_captioner(model_cfg: ModelConfig, vocab, key):
 
 
 def build_hypernet_model(model_cfg: ModelConfig, vocab, key, hyper_emb=None):
-    k1, k2 = jax.random.split(key)
-    return {
+    k1, k2, k3 = jax.random.split(key, 3)
+    model = {
         "decoder": build_captioner(model_cfg, vocab, k1),
         "hn": hypernet_init(
             k2,
@@ -131,6 +131,12 @@ def build_hypernet_model(model_cfg: ModelConfig, vocab, key, hyper_emb=None):
             M=model_cfg.hn_m,
         ),
     }
+    if model_cfg.dedicated_style_tokens:
+        # 3-row style table (deviation, see steps.dedicated_style_embed)
+        from captionax.models.layers import embedding_init
+
+        model["style_embed"] = embedding_init(k3, 3, model_cfg.embed_size)
+    return model
 
 
 def build_encoder(model_cfg: ModelConfig, key, torch_weights: str = ""):

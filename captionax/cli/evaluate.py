@@ -35,6 +35,7 @@ def main(argv=None):
     vocab = resolve_vocab(data_cfg)
     model_cfg.vocab_size = len(vocab)
     data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
+    data.dedicated_style_tokens = model_cfg.dedicated_style_tokens
 
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
@@ -46,9 +47,13 @@ def main(argv=None):
     params = restore_checkpoint(train_cfg.checkpoint_dir, like=like)
     encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
 
+    from captionax.train.steps import dedicated_style_embed, style_token_embed
+
     trainer = CaptionTrainer(
         params, args.kind, train_cfg, vocab,
         encoder_params=encoder_params, run_name=args.run_name + "_eval",
+        embed_fn=dedicated_style_embed if model_cfg.dedicated_style_tokens
+        else style_token_embed,
     )
     _, _, test_idx = data.splits(seed=train_cfg.seed)
     results = {}

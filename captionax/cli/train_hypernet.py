@@ -38,6 +38,7 @@ def main(argv=None):
     vocab = resolve_vocab(data_cfg)
     model_cfg.vocab_size = len(vocab)
     data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
+    data.dedicated_style_tokens = model_cfg.dedicated_style_tokens
     print(f"vocab={len(vocab)} images={len(data)}")
 
     key = jax.random.PRNGKey(train_cfg.seed)
@@ -54,10 +55,14 @@ def main(argv=None):
         with open(args.style_classifier, "rb") as f:
             clf_params = pickle.load(f)
 
+    from captionax.train.steps import dedicated_style_embed, style_token_embed
+
     trainer = CaptionTrainer(
         params, "hypernet", train_cfg, vocab,
         encoder_params=encoder_params, run_name=args.run_name,
         style_classifier_params=clf_params,
+        embed_fn=dedicated_style_embed if model_cfg.dedicated_style_tokens
+        else style_token_embed,
     )
     if args.resume:
         resumed = trainer.maybe_resume(args.resume if args.resume != "auto" else None)

@@ -157,8 +157,11 @@ def main(argv=None):
         if args.kind == "gru":
             theta = None
         else:
+            from captionax.train.steps import resolve_style_id, style_table
+
             style_embed = embedding(
-                params["decoder"]["embed"], np.int32(vocab(style))
+                style_table(params),
+                np.int32(resolve_style_id(params, vocab, style)),
             )
             theta = hypernet_apply(params["hn"], style_embed)
         per_style_tokens[style] = np.asarray(decode(feats, theta))

@@ -29,6 +29,13 @@ class ModelConfig:
     # encoder
     encoder_depth: int = 152
     regions: int = 49
+    # opt-in deviation: condition the hypernet on a dedicated 3-row
+    # style table instead of the vocab token row.  The reference uses
+    # vocab('humour') which is <unk> (build_vocab never sees the word
+    # 'humour'), so humour's conditioning embedding is shared with every
+    # OOV word and receives their gradients (hypernet_attention.py:139-142).
+    # Off by default = exact reference semantics.
+    dedicated_style_tokens: bool = False
 
 
 @dataclass

@@ -75,6 +75,13 @@ class FlickrStyleData:
     image_loader: Optional[Callable[[str], np.ndarray]] = None
     max_len: int = 25
     image_hw: Tuple[int, int] = (224, 224)
+    # opt-in deviation: style_id = 0/1/2 into a dedicated 3-row style
+    # embedding table instead of the vocab token row.  The reference
+    # conditions on vocab('humour') = <unk> (build_vocab has no 'humour'
+    # entry), so humour's conditioning signal shares the OOV embedding
+    # and measurably fails to separate (BASELINE.md style-separation
+    # table).  Off by default = exact reference semantics.
+    dedicated_style_tokens: bool = False
 
     def __post_init__(self):
         self.num_images = min(
@@ -114,7 +121,11 @@ class FlickrStyleData:
         return img
 
     def style_id(self, style: str) -> int:
-        """vocab(style-name) — includes the 'humour'-><unk> quirk."""
+        """vocab(style-name) — includes the 'humour'-><unk> quirk — or,
+        with ``dedicated_style_tokens``, the 0/1/2 index into the
+        model's dedicated style table."""
+        if self.dedicated_style_tokens:
+            return STYLE_NAMES.index(style)
         return self.vocab(style)
 
     # -- batches --------------------------------------------------------

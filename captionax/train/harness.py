@@ -131,6 +131,10 @@ class CaptionTrainer:
                 mix_step = make_hypernet_mixup_steps(
                     self.tx, style_classifier_params,
                     alpha=config.mixup_alpha, embed_fn=embed_fn,
+                    # dedicated style table: mix rows 0/1/2 of it
+                    # instead of the vocab-token rows
+                    style_ids=(0, 1, 2) if "style_embed" in params
+                    else (4, 3, 6),
                 )
                 base_key = jax.random.PRNGKey(config.seed)
 

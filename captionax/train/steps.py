@@ -130,10 +130,40 @@ def style_token_embed(params, batch):
     return embedding(params["decoder"]["embed"], batch["style_id"])
 
 
+def dedicated_style_embed(params, batch):
+    """Opt-in deviation: style conditioning from a dedicated 3-row
+    table (``params['style_embed']``) indexed by style_id in 0..2 —
+    fixes the reference's 'humour'-><unk> pollution (the OOV embedding
+    receives gradients from every unknown word; measured cost in
+    BASELINE.md's style-separation table).  Pair with
+    ``FlickrStyleData(dedicated_style_tokens=True)``."""
+    return embedding(params["style_embed"], batch["style_id"])
+
+
+def style_table(params):
+    """The embedding table style ids index into: the dedicated 3-row
+    table when the model was built with it, else the decoder vocab
+    embedding (reference semantics)."""
+    return params.get("style_embed", params["decoder"]["embed"])
+
+
+def resolve_style_id(params, vocab, style: str) -> int:
+    """Host-side style-name -> id in whichever space ``params`` uses:
+    0/1/2 for dedicated-table models, vocab(style) otherwise (including
+    the reference's 'humour'-><unk> quirk)."""
+    if "style_embed" in params:
+        from captionax.data.flickr import STYLE_NAMES
+
+        return STYLE_NAMES.index(style)
+    return int(vocab(style))
+
+
 def synthesize_theta(params, style_id):
     """Batch-homogeneous weight synthesis: style token -> embed row ->
-    hypernet -> GRU theta (one set per batch, like the reference)."""
-    style_embed = embedding(params["decoder"]["embed"], style_id)
+    hypernet -> GRU theta (one set per batch, like the reference).
+    With a dedicated style table present, style_id indexes that table
+    instead (see :func:`dedicated_style_embed` / :func:`resolve_style_id`)."""
+    style_embed = embedding(style_table(params), style_id)
     return hypernet_apply(params["hn"], style_embed)
 
 
@@ -200,7 +230,8 @@ def make_hypernet_mixup_steps(
     differentiable end-to-end; the reference decodes to a string and
     re-tokenizes, which passes no gradient.  ``style_ids`` defaults to
     the reference's vocab mapping {factual: 4, humour: <unk>=3,
-    romantic: 6}."""
+    romantic: 6}; pass (0, 1, 2) for dedicated-style-token models
+    (the mix rows then come from params['style_embed'])."""
     from captionax.models.classifiers import small_style_classifier_apply_soft
     from captionax.train.losses import mixup_style_target
 
@@ -219,7 +250,7 @@ def make_hypernet_mixup_steps(
             logits = _tf_logits(params["decoder"], batch, gru_params=theta)
             ce = cross_entropy_loss(logits, batch["captions"], pad_id)
 
-            emb = params["decoder"]["embed"]
+            emb = style_table(params)
             mix_embed = coeff * emb[s1] + (1.0 - coeff) * emb[s2]
             theta_mix = hypernet_apply(params["hn"], mix_embed)
             logits_mix = _tf_logits(

@@ -109,6 +109,19 @@ class TestCoreClis:
                             "--style-classifier", str(clf)))
         assert all("train_loss_epoch" in h for h in hist.values())
 
+    def test_train_hypernet_dedicated_style_tokens(self, tmp_path):
+        """--dedicated-style-tokens round-trip: train builds the 3-row
+        style table, evaluate restores + beams with it."""
+        from captionax.cli.evaluate import main as eval_main
+        from captionax.cli.train_hypernet import main as hn_main
+
+        hist = hn_main(args(tmp_path, "--dedicated-style-tokens",
+                            "--styled-fixture"))
+        assert all("train_loss_epoch" in h for h in hist.values())
+        res = eval_main(args(tmp_path, "--dedicated-style-tokens",
+                             "--kind", "hypernet"))
+        assert set(res) == {"factual", "humour", "romantic"}
+
     def test_cc_train_hypernet(self, tmp_path):
         from captionax.cli.cc_train_hypernet import main
 

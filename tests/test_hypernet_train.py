@@ -94,6 +94,84 @@ class TestSynthesis:
             )
 
 
+class TestDedicatedStyleTokens:
+    """Opt-in deviation (ModelConfig.dedicated_style_tokens): style
+    conditioning from a 3-row table instead of the vocab token row,
+    fixing the reference's 'humour'-><unk> pollution
+    (hypernet_attention.py:139-142 with build_vocab lacking 'humour')."""
+
+    @pytest.fixture()
+    def ded_model(self, model):
+        from captionax.models.layers import embedding_init
+
+        m = {k: jax.tree_util.tree_map(jnp.array, v) for k, v in model.items()}
+        m["style_embed"] = embedding_init(jax.random.PRNGKey(9), 3, E)
+        return m
+
+    def test_synthesize_theta_uses_table_iff_present(self, ded_model, model):
+        from captionax.train.steps import style_table
+
+        th = synthesize_theta(ded_model, jnp.int32(1))
+        ref = hypernet_apply(ded_model["hn"], ded_model["style_embed"][1])
+        np.testing.assert_allclose(
+            np.asarray(th["w_ih"]), np.asarray(ref["w_ih"]), atol=1e-6
+        )
+        assert style_table(model) is model["decoder"]["embed"]
+        base = synthesize_theta(model, jnp.int32(1))
+        vocab_row = hypernet_apply(model["hn"], model["decoder"]["embed"][1])
+        np.testing.assert_allclose(
+            np.asarray(base["w_ih"]), np.asarray(vocab_row["w_ih"]), atol=1e-6
+        )
+
+    def test_resolve_style_id(self, ded_model, model):
+        from captionax.train.steps import resolve_style_id
+
+        vocab = {"factual": 4, "humour": 3, "romantic": 6}.__getitem__
+        assert resolve_style_id(ded_model, vocab, "factual") == 0
+        assert resolve_style_id(ded_model, vocab, "humour") == 1
+        assert resolve_style_id(ded_model, vocab, "romantic") == 2
+        assert resolve_style_id(model, vocab, "humour") == 3  # <unk> quirk
+
+    def test_train_updates_only_selected_style_row(self, ded_model):
+        from captionax.train.steps import dedicated_style_embed
+
+        tx = make_optimizer(1e-2)
+        state = create_train_state(ded_model, tx)
+        train, _ = make_hypernet_steps(tx, embed_fn=dedicated_style_embed)
+        train = jax.jit(train)
+        batch = make_batch(jax.random.PRNGKey(11))
+        batch["style_id"] = jnp.asarray(1, jnp.int32)  # humour
+        before = np.asarray(state.params["style_embed"])
+        state, m0 = train(state, batch)
+        for _ in range(20):
+            state, m = train(state, batch)
+        after = np.asarray(state.params["style_embed"])
+        assert float(m["train_loss"]) < float(m0["train_loss"]) * 0.8
+        assert not np.allclose(before[1], after[1])  # trained row moved
+        np.testing.assert_array_equal(before[0], after[0])
+        np.testing.assert_array_equal(before[2], after[2])
+
+    def test_mixup_step_mixes_table_rows(self, ded_model):
+        from captionax.models.classifiers import small_style_classifier_init
+        from captionax.train.steps import (
+            dedicated_style_embed,
+            make_hypernet_mixup_steps,
+        )
+
+        clf = small_style_classifier_init(jax.random.PRNGKey(12), V, E, 3)
+        tx = make_optimizer(1e-3)
+        state = create_train_state(ded_model, tx)
+        step = jax.jit(make_hypernet_mixup_steps(
+            tx, clf, style_ids=(0, 1, 2), embed_fn=dedicated_style_embed
+        ))
+        batch = make_batch(jax.random.PRNGKey(13))
+        batch["style_id"] = jnp.asarray(0, jnp.int32)
+        for i in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+            assert np.isfinite(float(m["train_loss"]))
+            assert np.isfinite(float(m["style_loss"]))
+
+
 class TestTrainSteps:
     def test_gru_overfit_one_batch(self, model):
         tx = make_optimizer(1e-2)
