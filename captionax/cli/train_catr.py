@@ -84,18 +84,25 @@ def main(argv=None):
                 logger.log({"train_loss": float(loss), "epoch": epoch}, step)
         print(f"epoch {epoch} train_loss {float(loss):.4f} lr {get_lr(state):.2e}")
 
-    sample = next(iter(BatchLoader(
-        data.batches(val_idx, min(4, train_cfg.batch_size), style="factual",
+    greedy_fn = jax.jit(
+        lambda p, f: catr_greedy(p, f, max_len=train_cfg.max_len)
+    )
+    quality = CaptionMetrics(vocab)
+    n_val = 0
+    for sample in BatchLoader(
+        data.batches(val_idx, train_cfg.batch_size, style="factual",
                      seed=0, shuffle=False, drop_remainder=False)
-    )), None)
-    if sample is None:  # empty validation split at tiny dataset sizes
+    ):
+        feats = encode(sample["images"])
+        ids = greedy_fn(state.params, feats)
+        quality.add_batch_ids(np.asarray(sample["captions"]), np.asarray(ids))
+        n_val += len(ids)
+    if n_val == 0:  # empty validation split at tiny dataset sizes
         print("no validation batches; skipping greedy smoke")
         return state
-    feats = encode(sample["images"])
-    ids = catr_greedy(state.params, feats, max_len=train_cfg.max_len)
-    quality = CaptionMetrics(vocab)
-    quality.add_batch_ids(np.asarray(sample["captions"]), np.asarray(ids))
-    print("greedy metrics:", {k: round(v, 4) for k, v in quality.compute().items()})
+    metrics = {k: round(v, 4) for k, v in quality.compute().items()}
+    logger.log({f"val_greedy_{k}": v for k, v in metrics.items()}, step)
+    print(f"greedy metrics ({n_val} val images):", metrics)
     return state
 
 
