@@ -16,9 +16,10 @@ Subcommand equivalents of the reference's preprocessing scripts:
 Image scraping (parse_conceptual_captions.py / create_data_cc.py) needs
 network egress; the URL-and-caption selection logic lives in
 ``captionax.data.cc.extract_domain`` + this module's ``gcc-select``,
-which filters a GCC TSV down to per-domain caption files the rest of the
-pipeline consumes (image download left to the environment that has
-network access).
+which filters a GCC TSV down to per-domain caption files plus a
+``.urls`` download manifest, and ``gcc-download`` fetches that manifest
+into an image tree (threaded, resumable; works with ``file://`` URLs so
+it is testable without egress).
 """
 
 from __future__ import annotations
@@ -119,6 +120,104 @@ def gcc_select(args):
     print(f"{sum(map(len, keep.values()))} captions across {len(keep)} domains")
 
 
+def _fetch_one(name: str, url: str, out_dir: str, timeout: float) -> str:
+    """Fetch one manifest row -> decode-validate -> RGB JPEG on disk.
+
+    Returns "ok" | "skip" (already downloaded) | "bad".  Mirrors
+    /root/reference/parse_conceptual_captions.py:120-146: the reference
+    opens the HTTP stream with PIL and re-saves as ``<name>`` (catching
+    UnidentifiedImageError/OSError/connection errors as "bad images");
+    here the fetch is urllib (handles http/https/file) and the
+    re-encode normalizes to RGB JPEG so the downstream native decoder
+    (``captionax.data.native_image``) always sees a baseline JPEG.
+    """
+    import io
+    import os
+    import urllib.request
+
+    dst = os.path.join(out_dir, name)
+    if os.path.exists(dst):
+        return "skip"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            raw = r.read()
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(raw))
+        img.convert("RGB").save(dst, format="JPEG", quality=95)
+        return "ok"
+    except Exception:
+        try:
+            if os.path.exists(dst):
+                os.remove(dst)  # never leave a truncated file behind
+        except OSError:
+            pass
+        return "bad"
+
+
+def gcc_download(args):
+    """Fetch a ``gcc-select`` ``.urls`` manifest into an image tree.
+
+    The reference inlines downloading into selection
+    (parse_conceptual_captions.py:46-206, sequential requests+PIL with
+    per-domain bad-image accounting).  Redesign: selection (pure text,
+    ``gcc-select``) and acquisition (network-bound, this command) are
+    separate steps, so the slow fetch is threaded, resumable (existing
+    files are skipped), and re-runnable after partial failures.  With
+    ``--captions`` the caption file is filtered to rows whose image
+    actually downloaded, and domains whose failure count crosses
+    ``--max-bad-per-domain`` before any success are dropped entirely —
+    the reference's ``is_bad_domain`` heuristic
+    (parse_conceptual_captions.py:114-116).
+    """
+    import concurrent.futures as cf
+    import os
+
+    rows = []
+    with open(args.manifest) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line:
+                name, url = line.split("\t", 1)
+                rows.append((name, url))
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    status: dict = {}
+    with cf.ThreadPoolExecutor(max_workers=args.workers) as ex:
+        futs = {
+            ex.submit(_fetch_one, n, u, args.out_dir, args.timeout): n
+            for n, u in rows
+        }
+        for fut in cf.as_completed(futs):
+            status[futs[fut]] = fut.result()
+
+    ok = sum(1 for s in status.values() if s != "bad")
+    skipped = sum(1 for s in status.values() if s == "skip")
+    print(f"downloaded {ok - skipped} / {len(rows)} "
+          f"({skipped} already present, {len(rows) - ok} bad)")
+
+    if args.captions:
+        kept, bad_by_dom, ok_by_dom = [], Counter(), Counter()
+        cap_rows = load_cc_captions(args.captions)
+        for img, cap, dom in cap_rows:
+            if status.get(img, "bad") == "bad":
+                bad_by_dom[dom] += 1
+            else:
+                ok_by_dom[dom] += 1
+        bad_doms = {d for d, n in bad_by_dom.items()
+                    if n > args.max_bad_per_domain and ok_by_dom[d] == 0}
+        for img, cap, dom in cap_rows:
+            if status.get(img) in ("ok", "skip") and dom not in bad_doms:
+                kept.append((img, cap, dom))
+        out = args.filtered_out or args.captions + ".downloaded"
+        with open(out, "w") as f:
+            for row in kept:
+                f.write(SEP.join(row) + "\n")
+        print(f"kept {len(kept)} / {len(cap_rows)} caption rows -> {out}"
+              + (f" (dropped bad domains: {sorted(bad_doms)})"
+                 if bad_doms else ""))
+
+
 def shuffle(args):
     with open(args.infile) as f:
         lines = f.readlines()
@@ -168,6 +267,20 @@ def main(argv=None):
     s.add_argument("--per-domain", type=int, default=200)
     s.add_argument("--min-per-domain", type=int, default=50)
     s.set_defaults(fn=gcc_select)
+
+    s = sub.add_parser("gcc-download")
+    s.add_argument("--manifest", required=True,
+                   help="the .urls file emitted by gcc-select")
+    s.add_argument("--out-dir", required=True)
+    s.add_argument("--captions", default="",
+                   help="gcc-select caption file to filter by download success")
+    s.add_argument("--filtered-out", default="",
+                   help="path for the filtered captions "
+                        "(default: <captions>.downloaded)")
+    s.add_argument("--workers", type=int, default=16)
+    s.add_argument("--timeout", type=float, default=10.0)
+    s.add_argument("--max-bad-per-domain", type=int, default=50)
+    s.set_defaults(fn=gcc_download)
 
     s = sub.add_parser("shuffle")
     s.add_argument("--infile", required=True)

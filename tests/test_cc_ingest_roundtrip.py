@@ -19,7 +19,7 @@ import numpy as np
 import pytest
 
 from captionax.cli.preprocess import main as preprocess_main
-from captionax.data.cc import ConceptualCaptionsData, load_cc_captions
+from captionax.data.cc import SEP, ConceptualCaptionsData, load_cc_captions
 from captionax.data.native_image import (
     GRAY_VIRIDIS,
     decode_resize,
@@ -94,6 +94,85 @@ class TestGccSelect:
         # including the co.uk two-level suffix
         doms = {d for d in by_name.values()}
         assert doms == {"alpha", "beta", "gamma"}
+
+
+class TestGccDownload:
+    """The acquisition step itself (``preprocess gcc-download``), driven
+    through ``file://`` URLs so it runs without egress."""
+
+    @pytest.fixture()
+    def manifest_tree(self, tmp_path):
+        from pathlib import Path
+
+        root = tmp_path
+        # file:// URLs pointing at the committed fixtures, plus one row
+        # whose target does not exist and one that is not an image.
+        # file:// has no host for extract_domain, so the caption file is
+        # written by hand with explicit domains.
+        notimg = root / "not_an_image.bin"
+        notimg.write_bytes(b"definitely not a jpeg")
+        uris = [
+            (os.path.join(IMG_DIR, FIXTURES[0]), "alpha"),
+            (os.path.join(IMG_DIR, FIXTURES[1]), "alpha"),
+            (str(root / "missing.jpg"), "beta"),
+            (str(notimg), "beta"),
+            (os.path.join(IMG_DIR, FIXTURES[2]), "beta"),
+        ]
+        out = root / "cc_train.txt"
+        with open(out, "w") as f, open(str(out) + ".urls", "w") as fu:
+            for i, (p, dom) in enumerate(uris):
+                name = f"{i + 1}.jpg"
+                f.write(f"{name}{SEP}caption {i}{SEP}{dom}\n")
+                fu.write(f"{name}\t{Path(p).absolute().as_uri()}\n")
+        return out, root
+
+    def test_download_validates_filters_and_resumes(self, manifest_tree):
+        out, root = manifest_tree
+        img_dir = root / "imgs"
+        preprocess_main([
+            "gcc-download", "--manifest", str(out) + ".urls",
+            "--out-dir", str(img_dir), "--captions", str(out),
+            "--workers", "4", "--max-bad-per-domain", "50",
+        ])
+        # the three real images landed, re-encoded as decodable JPEG
+        got = sorted(os.listdir(img_dir))
+        assert got == ["1.jpg", "2.jpg", "5.jpg"]
+        for name in got:
+            with open(img_dir / name, "rb") as f:
+                arr = decode_resize(f.read(), (32, 32))
+            assert arr.shape == (32, 32, 3) and arr.dtype == np.uint8
+        # caption filter drops exactly the two bad rows
+        kept = load_cc_captions(str(out) + ".downloaded")
+        assert [n for n, _, _ in kept] == ["1.jpg", "2.jpg", "5.jpg"]
+        assert {d for _, _, d in kept} == {"alpha", "beta"}
+        # resumable: a second run skips everything already present
+        preprocess_main([
+            "gcc-download", "--manifest", str(out) + ".urls",
+            "--out-dir", str(img_dir), "--captions", str(out),
+        ])
+        assert sorted(os.listdir(img_dir)) == got
+
+    def test_all_bad_domain_is_dropped(self, manifest_tree, tmp_path):
+        out, root = manifest_tree
+        # rewrite the manifest so every beta row is missing -> with
+        # max-bad-per-domain=1 the whole domain must be dropped
+        with open(str(out) + ".urls") as f:
+            lines = [l.rstrip("\n").split("\t") for l in f if l.strip()]
+        from pathlib import Path
+
+        good = Path(os.path.join(IMG_DIR, FIXTURES[0])).absolute().as_uri()
+        miss = (root / "gone.jpg").absolute().as_uri()
+        with open(str(out) + ".urls", "w") as f:
+            for name, _uri in lines:
+                f.write(f"{name}\t{good if name in ('1.jpg', '2.jpg') else miss}\n")
+        img_dir = root / "imgs2"
+        preprocess_main([
+            "gcc-download", "--manifest", str(out) + ".urls",
+            "--out-dir", str(img_dir), "--captions", str(out),
+            "--max-bad-per-domain", "1",
+        ])
+        kept = load_cc_captions(str(out) + ".downloaded")
+        assert {d for _, _, d in kept} == {"alpha"}
 
 
 class TestIngestDownloadedTree:
