@@ -1,0 +1,92 @@
+"""Serve styled captions over HTTP from a checkpoint.
+
+The reference ships no server (inference = ad-hoc per-image loops,
+/root/reference/visualize_flickr.py:45-115); this is the deployment
+surface the framework adds on top of the measured relay cost model:
+every concurrent request coalesces through one MicroBatcher into
+fixed-shape image->encoder->fused-beam dispatches
+(captionax/decode/service.py).
+
+    python -m captionax.cli.serve --checkpoint-dir ckpt \\
+        --kind hypernet --styles factual,humour,romantic --port 8080
+
+    curl -X POST --data-binary @dog.jpg -H 'Content-Type: image/jpeg' \\
+        'http://localhost:8080/caption?style=humour'
+"""
+
+from __future__ import annotations
+
+from captionax.cli.common import (
+    build_captioner,
+    build_encoder,
+    build_hypernet_model,
+    make_parser,
+    parse_configs,
+    resolve_vocab,
+)
+
+
+def build_service(args):
+    """Construct the CaptionService from CLI args (shared with tests)."""
+    import jax
+
+    from captionax.decode.service import CaptionService
+    from captionax.train.checkpoint import restore_checkpoint
+
+    model_cfg, train_cfg, data_cfg = parse_configs(args)
+    vocab = resolve_vocab(data_cfg)
+    model_cfg.vocab_size = len(vocab)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    like = (build_captioner(model_cfg, vocab, k1) if args.kind == "gru"
+            else build_hypernet_model(model_cfg, vocab, k1))
+    try:
+        params = restore_checkpoint(train_cfg.checkpoint_dir, like=like)
+        print(f"loaded checkpoint from {train_cfg.checkpoint_dir}")
+    except FileNotFoundError:
+        params = like
+        print("no checkpoint found; serving random-init weights")
+    encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
+    use_fused = None if not args.no_fused else False
+    return CaptionService(
+        params, encoder_params, vocab,
+        styles=args.styles.split(","),
+        batch_size=args.window,
+        max_steps=train_cfg.beam_max_steps,
+        use_fused=use_fused,
+        decode=args.decode,
+    )
+
+
+def main(argv=None):
+    parser = make_parser(__doc__)
+    parser.add_argument("--kind", type=str, default="hypernet",
+                        choices=["gru", "hypernet"])
+    parser.add_argument("--styles", type=str, default="factual")
+    parser.add_argument("--encoder-weights", type=str, default="")
+    parser.add_argument("--decode", type=str, default="beam",
+                        choices=["beam", "greedy"])
+    parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--window", type=int, default=64,
+                        help="MicroBatcher compiled batch (the coalescing "
+                             "window; requests/dispatch ceiling)")
+    args = parser.parse_args(argv)
+
+    from captionax.decode.service import make_http_server
+
+    with build_service(args) as service:
+        srv = make_http_server(service, args.host, args.port)
+        host, port = srv.server_address[:2]
+        print(f"serving {service.styles} on http://{host}:{port} "
+              f"(POST /caption, GET /healthz)", flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

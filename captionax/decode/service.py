@@ -1,0 +1,247 @@
+"""Online caption service: HTTP requests -> coalesced TPU dispatches.
+
+The reference has no serving story — inference is ad-hoc scripts that
+loop one image at a time (/root/reference/visualize_flickr.py:45-115).
+This module is the production counterpart built on the measured relay
+cost model (BASELINE.md): a dedicated dispatch per request pays the
+~28 ms floor serially, so the service funnels every concurrent request
+through one :class:`captionax.decode.serving.MicroBatcher` — arrivals
+during the in-flight window coalesce into the next fixed-shape batch
+and the floor amortizes across whoever is waiting (measured 6-8x
+sustainable throughput in ``benchmarks/latency_packing.py``).
+
+Requests carry IMAGE BYTES (the production interface — and also the
+smallest payload: 147 KB uint8 vs 392 KB f32 features through the
+~30 MB/s relay).  Each dispatch runs native decode on the host thread,
+then preprocess + frozen encoder + mixed-style fused beam on-device in
+ONE program, with the hypernet theta bank synthesized eagerly at build
+time (its own dispatch — relay AOT rule, benchmarks/README.md) and each
+request row picking its style via ``style_rows``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+from captionax.decode.serving import MicroBatcher, unpack_beam_result
+
+
+class CaptionService:
+    """Thread-safe styled-captioning service over one device.
+
+    ``params`` is a hypernet model pytree (``{"decoder", "hn", ...}``)
+    or a plain attention-GRU decoder pytree; ``styles`` names the rows
+    of the theta bank (hypernet only — a plain GRU serves its single
+    trained style under whatever name is passed first).
+    """
+
+    def __init__(
+        self,
+        params,
+        encoder_params,
+        vocab,
+        styles: Sequence[str] = ("factual",),
+        *,
+        batch_size: int = 64,
+        max_steps: int = 50,
+        image_size: int = 224,
+        use_fused: Optional[bool] = None,
+        decode: str = "beam",
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from captionax.data.transforms import preprocess_images
+        from captionax.models.encoder import encoder_cnn
+
+        if decode not in ("beam", "greedy"):
+            raise ValueError(f"decode must be beam|greedy, got {decode!r}")
+        self.vocab = vocab
+        self.styles = list(styles)
+        self.decode = decode
+        self.image_size = image_size
+        self._sid = {s: i for i, s in enumerate(self.styles)}
+        if use_fused is None:  # axon platform is the TPU (CLAUDE.md)
+            use_fused = jax.devices()[0].platform != "cpu"
+
+        hyper = isinstance(params, dict) and "hn" in params
+        decoder = params["decoder"] if hyper else params
+        if hyper:
+            from captionax.train.steps import (
+                resolve_style_id,
+                style_table,
+                synthesize_theta_batched,
+            )
+
+            ids = jnp.asarray(
+                [resolve_style_id(params, vocab, s) for s in self.styles],
+                jnp.int32,
+            )
+            # eager bank synthesis: one dispatch per service build, never
+            # fused with the Pallas kernel (relay AOT limit)
+            bank = jax.jit(synthesize_theta_batched)(
+                params, style_table(params)[ids]
+            )
+        else:
+            bank = None
+
+        if use_fused:
+            from captionax.ops.decode_kernel import (
+                fused_beam_search,
+                fused_greedy,
+            )
+        else:
+            from captionax.decode.search import beam_search, greedy
+
+        def _decode_tokens(dp, th, feats, rows):
+            if bank is not None and not use_fused:
+                th = jax.tree_util.tree_map(lambda t: t[rows], th)
+                rows = None
+            kw = {"gru_params": th}
+            if bank is not None and use_fused:
+                kw["style_rows"] = rows
+            if decode == "greedy":
+                fn = fused_greedy if use_fused else greedy
+                return fn(dp, feats, max_len=max_steps, **kw)
+            fn = fused_beam_search if use_fused else beam_search
+            res = fn(dp, feats, max_steps=max_steps, **kw)
+            from captionax.decode.serving import pack_beam_result
+
+            return pack_beam_result(res)
+
+        @jax.jit
+        def _dispatch(ep, dp, th, imgs, rows):
+            feats = encoder_cnn(ep, preprocess_images(imgs))
+            return _decode_tokens(dp, th, feats, rows)
+
+        # device-resident weights passed as ARGUMENTS (closed-over
+        # constants inflate the relay compile payload -> HTTP 413)
+        ep = jax.device_put(encoder_params)
+        dp = jax.device_put(decoder)
+        th = jax.device_put(bank) if bank is not None else None
+        self._batcher = MicroBatcher(
+            lambda imgs, rows: _dispatch(ep, dp, th, imgs, rows),
+            batch_size=batch_size,
+            feature_shape=(image_size, image_size, 3),
+            styled=True,
+            feature_dtype=np.uint8,
+        )
+
+    # -- request paths ----------------------------------------------------
+
+    def submit_array(self, img: np.ndarray, style: str):
+        """uint8 [H, W, 3] (already image_size x image_size) -> Future."""
+        if style not in self._sid:
+            raise KeyError(
+                f"unknown style {style!r}; serving {self.styles}"
+            )
+        return self._batcher.submit(img, self._sid[style])
+
+    def caption_array(self, img: np.ndarray, style: str) -> dict:
+        from captionax.eval.metrics import ids_to_text
+
+        out = self.submit_array(img, style).result()
+        if self.decode == "greedy":
+            return {"caption": ids_to_text(out, self.vocab), "style": style}
+        res = unpack_beam_result(out[None])
+        return {
+            "caption": ids_to_text(res.tokens[0], self.vocab),
+            "score": float(res.scores[0]),
+            "completed": bool(res.found[0]),
+            "style": style,
+        }
+
+    def caption_bytes(self, data: bytes, style: str) -> dict:
+        """Encoded JPEG/PNG bytes -> caption dict (native C++ decode)."""
+        from captionax.data.native_image import decode_resize
+
+        img = decode_resize(data, (self.image_size, self.image_size))
+        return self.caption_array(img, style)
+
+    def close(self):
+        self._batcher.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def make_http_server(service: CaptionService, host: str = "127.0.0.1",
+                     port: int = 0):
+    """Build a ``ThreadingHTTPServer`` front-end for ``service``.
+
+    Endpoints:
+
+    - ``GET /healthz`` -> ``{"status": "ok", "styles": [...]}``
+    - ``POST /caption`` with an ``image/jpeg`` / ``image/png`` body
+      (style via ``?style=...``), or an ``application/json`` body
+      ``{"image_b64": ..., "style": ...}``.
+
+    Returns the server object; call ``serve_forever()`` (or run it on a
+    thread) and ``shutdown()`` to stop.  Threading matters: concurrent
+    handler threads block in ``caption_bytes`` and the MicroBatcher
+    coalesces them into shared dispatches.
+    """
+    import base64
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "styles": service.styles,
+                                 "decode": service.decode})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/caption":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/json"):
+                    req = json.loads(raw)
+                    data = base64.b64decode(req["image_b64"])
+                    style = req.get("style", service.styles[0])
+                else:
+                    data = raw
+                    q = parse_qs(url.query)
+                    style = q.get("style", [service.styles[0]])[0]
+                self._json(200, service.caption_bytes(data, style))
+            except KeyError as e:
+                self._json(400, {"error": str(e)})
+            except Exception as e:  # undecodable image, bad json, ...
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_background(service: CaptionService, host: str = "127.0.0.1",
+                     port: int = 0):
+    """Start the HTTP server on a daemon thread; returns (server, port)."""
+    srv = make_http_server(service, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

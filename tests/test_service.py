@@ -1,0 +1,162 @@
+"""HTTP caption service (captionax/decode/service.py): request->caption
+round-trips, style routing, error paths, and request coalescing (CPU,
+scan decoders; the fused path is the same graph the smokes/TPU runs
+cover)."""
+
+import base64
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+IMG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "images")
+
+ARGS = [
+    "--synthetic", "--batch-size", "4", "--encoder-depth", "50",
+    "--embed-size", "16", "--hidden-size", "16", "--feature-size", "16",
+    "--hyper-emb", "8", "--hn-m", "64", "--beam-max-steps", "6",
+    "--kind", "hypernet", "--styles", "factual,humour",
+    "--no-fused", "--window", "4",
+]
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from captionax.cli.serve import build_service, main  # noqa: F401
+    from captionax.decode.service import serve_background
+
+    ckpt = tmp_path_factory.mktemp("serve_ckpt")
+    import argparse
+
+    from captionax.cli.common import make_parser
+
+    parser = make_parser("test")
+    parser.add_argument("--kind", default="hypernet")
+    parser.add_argument("--styles", default="factual")
+    parser.add_argument("--encoder-weights", default="")
+    parser.add_argument("--decode", default="beam")
+    parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--window", type=int, default=4)
+    args = parser.parse_args(ARGS + ["--checkpoint-dir", str(ckpt)])
+    service = build_service(args)
+    srv, port = serve_background(service)
+    yield service, port
+    srv.shutdown()
+    service.close()
+
+
+def _post(port, path, data, ctype):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data,
+        headers={"Content-Type": ctype}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _jpeg_bytes():
+    with open(os.path.join(IMG_DIR, "photo_gradient.jpg"), "rb") as f:
+        return f.read()
+
+
+class TestHttpSurface:
+    def test_healthz(self, served):
+        _service, port = served
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["status"] == "ok"
+        assert body["styles"] == ["factual", "humour"]
+
+    def test_caption_raw_image_body(self, served):
+        _service, port = served
+        status, body = _post(port, "/caption?style=humour",
+                             _jpeg_bytes(), "image/jpeg")
+        assert status == 200
+        assert body["style"] == "humour"
+        assert isinstance(body["caption"], str)
+        assert isinstance(body["score"], float)
+        assert isinstance(body["completed"], bool)
+
+    def test_caption_json_base64(self, served):
+        _service, port = served
+        payload = json.dumps({
+            "image_b64": base64.b64encode(_jpeg_bytes()).decode(),
+            "style": "factual",
+        }).encode()
+        status, body = _post(port, "/caption", payload, "application/json")
+        assert status == 200 and body["style"] == "factual"
+
+    def test_unknown_style_is_400(self, served):
+        _service, port = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(port, "/caption?style=noir", _jpeg_bytes(), "image/jpeg")
+        assert ei.value.code == 400
+        assert "noir" in json.loads(ei.value.read())["error"]
+
+    def test_undecodable_image_is_400(self, served):
+        _service, port = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(port, "/caption", b"not an image", "image/jpeg")
+        assert ei.value.code == 400
+
+    def test_unknown_path_is_404(self, served):
+        _service, port = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(port, "/elsewhere", b"{}", "application/json")
+        assert ei.value.code == 404
+
+
+class TestCoalescingAndDeterminism:
+    def test_concurrent_requests_coalesce_and_agree(self, served):
+        """N concurrent posts of the same image+style must (a) all
+        succeed with the SAME caption (batch position must not change
+        the output) and (b) ride fewer dispatches than requests."""
+        service, port = served
+        batcher = service._batcher
+        calls = []
+        inner = batcher.decode_fn
+        batcher.decode_fn = lambda f, r: (calls.append(1) or inner(f, r))
+        try:
+            data = _jpeg_bytes()
+            results, errs = [], []
+
+            def post():
+                try:
+                    results.append(_post(port, "/caption?style=factual",
+                                         data, "image/jpeg"))
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+
+            threads = [threading.Thread(target=post) for _ in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=300)
+        finally:
+            batcher.decode_fn = inner
+        assert not errs
+        assert len(results) == 8
+        caps = {body["caption"] for _, body in results}
+        assert len(caps) == 1, f"batch position changed the caption: {caps}"
+        # window=4: 8 requests need >=2 dispatches, but coalescing should
+        # need strictly fewer than one dispatch per request
+        assert 2 <= len(calls) < 8
+
+
+class TestServiceLibrary:
+    def test_caption_array_direct(self, served):
+        service, _port = served
+        img = np.zeros((224, 224, 3), np.uint8)
+        out = service.caption_array(img, "factual")
+        assert set(out) >= {"caption", "score", "completed", "style"}
+
+    def test_submit_unknown_style_raises(self, served):
+        service, _port = served
+        with pytest.raises(KeyError):
+            service.submit_array(np.zeros((224, 224, 3), np.uint8), "noir")
