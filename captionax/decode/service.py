@@ -192,6 +192,13 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
+    class Server(ThreadingHTTPServer):
+        # stdlib default backlog is 5: bursts of >5 concurrent connects
+        # get RSTs before a handler thread ever runs (measured at 32
+        # clients in benchmarks/serving_http.py)
+        request_queue_size = 128
+        daemon_threads = True
+
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -235,7 +242,7 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
             except Exception as e:  # undecodable image, bad json, ...
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return Server((host, port), Handler)
 
 
 def serve_background(service: CaptionService, host: str = "127.0.0.1",
