@@ -59,6 +59,11 @@ class TrainConfig:
     beam_max_steps: int = 50
     mixup: bool = False
     mixup_alpha: float = 0.3
+    # compute the mixup gradient as separate CE/style dispatches (exact
+    # by linearity) instead of one fused grad graph — required on the
+    # axon relay, whose AOT compile helper wedges on the fused graph at
+    # production dims (CLAUDE.md); single-device only
+    mixup_split: bool = False
     log_every: int = 20
     checkpoint_dir: str = "checkpoints"
     metrics_every_epochs: int = 1

@@ -128,6 +128,11 @@ class CaptionTrainer:
                 )
                 from captionax.train.steps import make_hypernet_mixup_steps
 
+                if config.mixup_split and mesh is not None:
+                    raise ValueError(
+                        "mixup_split is single-device (its inner jits "
+                        "bypass the mesh plumbing); drop one of the two"
+                    )
                 mix_step = make_hypernet_mixup_steps(
                     self.tx, style_classifier_params,
                     alpha=config.mixup_alpha, embed_fn=embed_fn,
@@ -135,17 +140,26 @@ class CaptionTrainer:
                     # instead of the vocab-token rows
                     style_ids=(0, 1, 2) if "style_embed" in params
                     else (4, 3, 6),
+                    split=config.mixup_split,
                 )
                 base_key = jax.random.PRNGKey(config.seed)
 
                 def train_step(state, batch, _mix=mix_step, _key=base_key):
                     rng = jax.random.fold_in(_key, state.step)
                     return _mix(state, batch, rng)
+
+                # split steps jit internally; an outer jit would rebuild
+                # the fused graph the split exists to avoid
+                train_step._prejitted = getattr(mix_step, "_prejitted",
+                                                False)
         if mesh is not None:
             self._train_step = None  # jitted lazily with example batch
             self._raw_train_step = train_step
         else:
-            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._train_step = (
+                train_step if getattr(train_step, "_prejitted", False)
+                else jax.jit(train_step, donate_argnums=(0,))
+            )
             self._raw_train_step = train_step
         self._eval_step = jax.jit(eval_step)
         self._encode = jax.jit(

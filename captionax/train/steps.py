@@ -27,6 +27,7 @@ Batches are dicts of fixed-shape arrays:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -218,6 +219,7 @@ def make_hypernet_mixup_steps(
     alpha: float = 0.3,
     style_ids=(4, 3, 6),
     embed_fn: Callable = style_token_embed,
+    split: bool = False,
 ):
     """Hypernet training with the style-mixup auxiliary loss
     (hypernet_attention.py:147-191): interpolate two style embeddings,
@@ -231,7 +233,16 @@ def make_hypernet_mixup_steps(
     re-tokenizes, which passes no gradient.  ``style_ids`` defaults to
     the reference's vocab mapping {factual: 4, humour: <unk>=3,
     romantic: 6}; pass (0, 1, 2) for dedicated-style-token models
-    (the mix rows then come from params['style_embed'])."""
+    (the mix rows then come from params['style_embed']).
+
+    ``split=True`` returns a step computing the SAME total gradient as
+    two separate jitted dispatches (CE branch and style branch; exact
+    by linearity of the gradient) plus a combine+apply dispatch.  Use
+    it on the axon relay, whose AOT compile helper wedges on the single
+    fused grad graph (two 25-step TF scans + soft classifier in one
+    jit) at production dims — CLAUDE.md.  The returned function is
+    marked ``_prejitted``; callers must NOT wrap it in an outer
+    ``jax.jit``."""
     from captionax.models.classifiers import small_style_classifier_apply_soft
     from captionax.train.losses import mixup_style_target
 
@@ -269,7 +280,56 @@ def make_hypernet_mixup_steps(
         state = state.apply_gradients(grads, tx)
         return state, {"train_loss": loss, "ce_loss": ce, "style_loss": sl}
 
-    return train_step
+    if not split:
+        return train_step
+
+    def ce_loss_fn(params, batch):
+        theta = hypernet_apply(params["hn"], embed_fn(params, batch))
+        logits = _tf_logits(params["decoder"], batch, gru_params=theta)
+        return cross_entropy_loss(logits, batch["captions"], pad_id)
+
+    def style_loss_fn(params, batch, rng):
+        # identical rng consumption order to the fused path so both
+        # variants draw the same (coeff, missing, sample) per step
+        k_coeff, k_missing, k_sample = jax.random.split(rng, 3)
+        coeff = jax.random.uniform(k_coeff)
+        missing = jax.random.randint(k_missing, (), 0, 3)
+        s1 = jnp.where(missing == 0, sid[1], sid[0])
+        s2 = jnp.where(missing == 2, sid[1], sid[2])
+        emb = style_table(params)
+        mix_embed = coeff * emb[s1] + (1.0 - coeff) * emb[s2]
+        theta_mix = hypernet_apply(params["hn"], mix_embed)
+        logits_mix = _tf_logits(
+            params["decoder"], batch, sample_prob=1.0, rng=k_sample,
+            gru_params=theta_mix,
+        )
+        probs = jax.nn.softmax(logits_mix, axis=-1)
+        pred = small_style_classifier_apply_soft(classifier_params, probs)
+        target = mixup_style_target(coeff, missing)
+        return jnp.mean((pred - target[None, :]) ** 2)
+
+    ce_grad = jax.jit(jax.value_and_grad(ce_loss_fn))
+    style_grad = jax.jit(jax.value_and_grad(style_loss_fn))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def combine_apply(state, g_ce, g_sl):
+        grads = jax.tree_util.tree_map(
+            lambda a, b: alpha * a + (1.0 - alpha) * b, g_ce, g_sl
+        )
+        return state.apply_gradients(grads, tx)
+
+    def split_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        ce, g_ce = ce_grad(state.params, batch)
+        sl, g_sl = style_grad(state.params, batch, rng)
+        state = combine_apply(state, g_ce, g_sl)
+        return state, {
+            "train_loss": alpha * ce + (1.0 - alpha) * sl,
+            "ce_loss": ce,
+            "style_loss": sl,
+        }
+
+    split_step._prejitted = True
+    return split_step
 
 
 def batch_shardings(mesh, example_batch):

@@ -171,6 +171,42 @@ class TestDedicatedStyleTokens:
             assert np.isfinite(float(m["train_loss"]))
             assert np.isfinite(float(m["style_loss"]))
 
+    def test_mixup_split_matches_fused_gradient(self, ded_model):
+        """split=True computes the mixup gradient as two dispatches;
+        by linearity the resulting params must match the fused graph
+        (the split exists because the fused graph wedges the relay's
+        AOT compile helper at production dims — CLAUDE.md)."""
+        from captionax.models.classifiers import small_style_classifier_init
+        from captionax.train.steps import (
+            dedicated_style_embed,
+            make_hypernet_mixup_steps,
+        )
+
+        clf = small_style_classifier_init(jax.random.PRNGKey(12), V, E, 3)
+        tx = make_optimizer(1e-3)
+        kw = dict(style_ids=(0, 1, 2), embed_fn=dedicated_style_embed)
+        fused = jax.jit(make_hypernet_mixup_steps(tx, clf, **kw))
+        split = make_hypernet_mixup_steps(tx, clf, split=True, **kw)
+        assert getattr(split, "_prejitted", False)
+
+        batch = make_batch(jax.random.PRNGKey(13))
+        batch["style_id"] = jnp.asarray(0, jnp.int32)
+        s_f = create_train_state(ded_model, tx)
+        s_s = create_train_state(ded_model, tx)
+        for i in range(3):
+            rng = jax.random.PRNGKey(i)
+            s_f, m_f = fused(s_f, batch, rng)
+            s_s, m_s = split(s_s, batch, rng)
+            np.testing.assert_allclose(float(m_f["ce_loss"]),
+                                       float(m_s["ce_loss"]), rtol=1e-5)
+            np.testing.assert_allclose(float(m_f["style_loss"]),
+                                       float(m_s["style_loss"]), rtol=1e-4)
+        flat_f = jax.tree_util.tree_leaves(s_f.params)
+        flat_s = jax.tree_util.tree_leaves(s_s.params)
+        for a, b in zip(flat_f, flat_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
 
 class TestTrainSteps:
     def test_gru_overfit_one_batch(self, model):
