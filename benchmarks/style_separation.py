@@ -313,6 +313,67 @@ def phase_dedicated_train(args):
     print(f"dedicated-token hypernet saved ({time.time() - t0:.0f}s)")
 
 
+def phase_dedicated_mixup_train(args):
+    """The remaining A/B cell: dedicated 3-row style table AND the
+    mixup loss together, on the identical data/seed.  Asks whether
+    mixup's separation collapse (BASELINE.md style-separation table) was
+    an artifact of the reference's 'humour'-><unk> conditioning or is
+    intrinsic to the objective.  Trains with the split-dispatch gradient
+    (TrainConfig.mixup_split) — the fused mixup grad graph wedges the
+    relay compiler, the split is exact by linearity (steps.py)."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from captionax.core.runtime import setup_runtime
+
+        setup_runtime()
+
+    from captionax.cli.common import build_hypernet_model
+    from captionax.core.config import ModelConfig, TrainConfig
+    from captionax.train.harness import CaptionTrainer
+    from captionax.train.steps import dedicated_style_embed
+    from parity_quality import eval_batches, inject
+
+    vocab, data = build_data(args.images)
+    data.dedicated_style_tokens = True
+    feats = np.load(feature_path(args.images)).astype(np.float32)
+    model_cfg = ModelConfig(vocab_size=len(vocab),
+                            dedicated_style_tokens=True)
+    cfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
+        seed=args.seed, mixup=True, mixup_alpha=args.alpha,
+        mixup_split=not args.cpu,
+        checkpoint_dir=os.path.join(OUT_DIR, "ckpt_dedicated_mixup"),
+    )
+    with open(CLF_PATH, "rb") as f:
+        clf = pickle.load(f)
+    params = build_hypernet_model(model_cfg, vocab,
+                                  jax.random.PRNGKey(args.seed),
+                                  hyper_emb=model_cfg.embed_size)
+    trainer = CaptionTrainer(params, "hypernet", cfg, vocab,
+                             run_name="dedicated_mixup",
+                             embed_fn=dedicated_style_embed,
+                             style_classifier_params=clf)
+    train_idx, val_idx, _ = data.splits(seed=args.seed)
+    t0 = time.time()
+    trainer.fit(
+        lambda epoch: inject(
+            data.batches(train_idx, args.batch_size, style="random",
+                         seed=args.seed + epoch, with_images=False),
+            feats,
+        ),
+        lambda: eval_batches(data, val_idx, args.batch_size, "random",
+                             feats),
+    )
+    host = jax.tree_util.tree_map(np.asarray, trainer.params)
+    with open(os.path.join(OUT_DIR, "trained_hypernet_dedicated_mixup.pkl"),
+              "wb") as f:
+        pickle.dump(host, f)
+    print(f"dedicated+mixup hypernet saved ({time.time() - t0:.0f}s)")
+
+
 def phase_report(args):
     for name in sorted(os.listdir(OUT_DIR)):
         if name.startswith("style_separation") or name == "style_clf.json":
@@ -324,7 +385,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--phase",
                    choices=["clf", "gen", "mixup-train", "dedicated-train",
-                            "report"],
+                            "dedicated-mixup-train", "report"],
                    default="report")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--cpu", action="store_true",
@@ -342,6 +403,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     {"clf": phase_clf, "gen": phase_gen, "mixup-train": phase_mixup_train,
      "dedicated-train": phase_dedicated_train,
+     "dedicated-mixup-train": phase_dedicated_mixup_train,
      "report": phase_report}[args.phase](args)
 
 
