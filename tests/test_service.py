@@ -156,6 +156,35 @@ class TestServiceLibrary:
         out = service.caption_array(img, "factual")
         assert set(out) >= {"caption", "score", "completed", "style"}
 
+    def test_greedy_service_mode(self):
+        """decode='greedy' serves token-argmax captions through the
+        same coalescing path (no score/completed fields)."""
+        import jax
+
+        from captionax.core.vocab import build_vocab
+        from captionax.decode.service import CaptionService
+        from captionax.models import decoder as dec
+        from captionax.models.encoder import resnet_init
+        from captionax.models.hypernet import hypernet_init
+
+        vocab = build_vocab(["a dog runs fast", "a cat sits still"], [])
+        k = jax.random.split(jax.random.PRNGKey(0), 3)
+        E = H = F = 16
+        params = {
+            "decoder": dec.attention_gru_init(k[0], 2048, F, E, H,
+                                              len(vocab)),
+            "hn": hypernet_init(k[1], hyper_emb=E, input_dim=E + F,
+                                hidden_dim=H),
+        }
+        enc = resnet_init(k[2], depth=50)
+        with CaptionService(params, enc, vocab, styles=["factual"],
+                            batch_size=2, max_steps=5, use_fused=False,
+                            decode="greedy") as svc:
+            out = svc.caption_array(np.zeros((224, 224, 3), np.uint8),
+                                    "factual")
+        assert set(out) == {"caption", "style"}
+        assert isinstance(out["caption"], str)
+
     def test_submit_unknown_style_raises(self, served):
         service, _port = served
         with pytest.raises(KeyError):
