@@ -132,7 +132,7 @@ def phase_jax(args):
     model_cfg = ModelConfig(vocab_size=len(vocab))
     train_cfg = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
-        seed=args.seed, checkpoint_dir=os.path.join(OUT_DIR, f"ckpt_{args.model}"),
+        seed=args.seed, checkpoint_dir=os.path.join(OUT_DIR, f"ckpt_{args.model}{args.tag}"),
     )
     key = jax.random.PRNGKey(args.seed)
     if args.model == "gru":
@@ -142,7 +142,7 @@ def phase_jax(args):
                                       hyper_emb=model_cfg.embed_size)
     # snapshot the init so the torch side starts from identical weights
     init_host = jax.tree_util.tree_map(np.asarray, params)
-    with open(os.path.join(OUT_DIR, f"init_{args.model}.pkl"), "wb") as f:
+    with open(os.path.join(OUT_DIR, f"init_{args.model}{args.tag}.pkl"), "wb") as f:
         pickle.dump(init_host, f)
 
     trainer = CaptionTrainer(params, args.model, train_cfg, vocab,
@@ -191,9 +191,9 @@ def phase_jax(args):
                    if "cider" in k or "bleu1" in k or k == "beam_completed"},
               flush=True)
     final_host = jax.tree_util.tree_map(np.asarray, trainer.params)
-    with open(os.path.join(OUT_DIR, f"trained_{args.model}_jax.pkl"), "wb") as f:
+    with open(os.path.join(OUT_DIR, f"trained_{args.model}_jax{args.tag}.pkl"), "wb") as f:
         pickle.dump(final_host, f)
-    with open(os.path.join(OUT_DIR, f"{args.model}_jax.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"{args.model}_jax{args.tag}.json"), "w") as f:
         json.dump(results, f, indent=1)
     print("jax done", train_s, "s")
 
@@ -466,7 +466,7 @@ def phase_torch(args):
 
     vocab, data = build_data(args.images)
     feats_np = np.load(feature_path(args.images)).astype(np.float32)
-    with open(os.path.join(OUT_DIR, f"init_{args.model}.pkl"), "rb") as f:
+    with open(os.path.join(OUT_DIR, f"init_{args.model}{args.tag}.pkl"), "rb") as f:
         init = pickle.load(f)
 
     torch.manual_seed(args.seed)
@@ -557,7 +557,7 @@ def phase_torch(args):
         print(st, {k: round(v, 4) for k, v in res.items()
                    if "cider" in k or "bleu1" in k or "completed" in k},
               flush=True)
-    with open(os.path.join(OUT_DIR, f"{args.model}_torch.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, f"{args.model}_torch{args.tag}.json"), "w") as f:
         json.dump(results, f, indent=1)
     print("torch done")
 
@@ -575,7 +575,7 @@ def phase_crosscheck(args):
 
     vocab, data = build_data(args.images)
     feats_np = np.load(feature_path(args.images)).astype(np.float32)
-    with open(os.path.join(OUT_DIR, f"trained_{args.model}_jax.pkl"), "rb") as f:
+    with open(os.path.join(OUT_DIR, f"trained_{args.model}_jax{args.tag}.pkl"), "rb") as f:
         trained = pickle.load(f)
     dec = trained if args.model == "gru" else trained["decoder"]
     m = make_torch_captioner(len(vocab))
@@ -624,7 +624,7 @@ def phase_crosscheck(args):
         "found_flag_mismatch": n_found_mismatch,
         "mid_decode_pad_tokens": token0_hits,
     }
-    with open(os.path.join(OUT_DIR, f"{args.model}_crosscheck.json"), "w") as f2:
+    with open(os.path.join(OUT_DIR, f"{args.model}_crosscheck{args.tag}.json"), "w") as f2:
         json.dump(out, f2, indent=1)
     print(json.dumps(out))
 
@@ -632,7 +632,7 @@ def phase_crosscheck(args):
 def phase_report(args):
     rows = {}
     for side in ("jax", "torch"):
-        path = os.path.join(OUT_DIR, f"{args.model}_{side}.json")
+        path = os.path.join(OUT_DIR, f"{args.model}_{side}{args.tag}.json")
         if os.path.exists(path):
             with open(path) as f:
                 rows[side] = json.load(f)
@@ -649,7 +649,7 @@ def phase_report(args):
                 delta = vals["jax"] - vals["torch"]
                 print(f"{st:9s} {metric:18s} jax={vals['jax']:.4f} "
                       f"torch={vals['torch']:.4f} delta={delta:+.4f}")
-    cc = os.path.join(OUT_DIR, f"{args.model}_crosscheck.json")
+    cc = os.path.join(OUT_DIR, f"{args.model}_crosscheck{args.tag}.json")
     if os.path.exists(cc):
         with open(cc) as f:
             print("crosscheck:", f.read().strip())
@@ -663,6 +663,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tag", type=str, default="",
+                   help="artifact-name suffix so alternate-seed runs don't overwrite the canonical seed-0 results")
     p.add_argument("--dump-chunk", type=int, default=128)
     p.add_argument("--crosscheck-images", type=int, default=64)
     p.add_argument("--phase", default="all",

@@ -139,6 +139,12 @@ class CaptionService:
             raise KeyError(
                 f"unknown style {style!r}; serving {self.styles}"
             )
+        want = (self.image_size, self.image_size, 3)
+        if tuple(np.shape(img)) != want:
+            raise ValueError(
+                f"image must be shape {want}, got {np.shape(img)} "
+                "(use caption_bytes for undecoded/unresized inputs)"
+            )
         return self._batcher.submit(img, self._sid[style])
 
     def caption_array(self, img: np.ndarray, style: str) -> dict:

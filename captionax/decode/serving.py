@@ -121,16 +121,25 @@ class MicroBatcher:
                     break
                 if nxt is not None:
                     pending.append(nxt)
-            n = len(pending)
-            for i, (f, row, _) in enumerate(pending):
-                self._feats[i] = f
-                self._rows[i] = row
-            self._feats[n:] = 0.0
-            if self.styled:
-                res = self.decode_fn(self._feats, self._rows)
-            else:
-                res = self.decode_fn(self._feats)
-            host = jax.tree_util.tree_map(np.asarray, res)
+            # a bad request (wrong shape/dtype, device error) must fail
+            # ITS futures, not kill the worker — a dead worker would hang
+            # every later submit() forever
+            try:
+                n = len(pending)
+                for i, (f, row, _) in enumerate(pending):
+                    self._feats[i] = f
+                    self._rows[i] = row
+                self._feats[n:] = 0.0
+                if self.styled:
+                    res = self.decode_fn(self._feats, self._rows)
+                else:
+                    res = self.decode_fn(self._feats)
+                host = jax.tree_util.tree_map(np.asarray, res)
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for _, _, fut in pending:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
             for i, (_, _, fut) in enumerate(pending):
                 fut.set_result(
                     jax.tree_util.tree_map(lambda a, i=i: a[i], host)

@@ -189,3 +189,31 @@ class TestServiceLibrary:
         service, _port = served
         with pytest.raises(KeyError):
             service.submit_array(np.zeros((224, 224, 3), np.uint8), "noir")
+
+    def test_submit_wrong_shape_raises(self, served):
+        service, _port = served
+        with pytest.raises(ValueError):
+            service.submit_array(np.zeros((64, 64, 3), np.uint8), "factual")
+
+    def test_worker_survives_decode_failure(self, served):
+        """A dispatch that raises must fail its OWN futures and leave the
+        worker alive for the next request (a dead worker hangs every
+        later submit forever)."""
+        service, _port = served
+        batcher = service._batcher
+        inner = batcher.decode_fn
+
+        def boom(*a):
+            raise RuntimeError("injected device failure")
+
+        batcher.decode_fn = boom
+        try:
+            fut = batcher.submit(np.zeros((224, 224, 3), np.uint8), 0)
+            with pytest.raises(RuntimeError, match="injected"):
+                fut.result(timeout=60)
+        finally:
+            batcher.decode_fn = inner
+        # worker must still serve
+        out = service.caption_array(np.zeros((224, 224, 3), np.uint8),
+                                    "factual")
+        assert "caption" in out
