@@ -47,6 +47,12 @@ def build_service(args):
         print("no checkpoint found; serving random-init weights")
     encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
     use_fused = None if not args.no_fused else False
+    mesh = None
+    if getattr(args, "mesh_data", 0):
+        from captionax.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.mesh_data)
+        use_fused = False  # jit/GSPMD route; see service.py mesh note
     return CaptionService(
         params, encoder_params, vocab,
         styles=args.styles.split(","),
@@ -54,6 +60,7 @@ def build_service(args):
         max_steps=train_cfg.beam_max_steps,
         use_fused=use_fused,
         decode=args.decode,
+        mesh=mesh,
     )
 
 
@@ -71,6 +78,9 @@ def main(argv=None):
     parser.add_argument("--window", type=int, default=64,
                         help="MicroBatcher compiled batch (the coalescing "
                              "window; requests/dispatch ceiling)")
+    parser.add_argument("--mesh-data", type=int, default=0,
+                        help="shard each dispatch over this many devices "
+                             "(data axis); 0 = single device")
     args = parser.parse_args(argv)
 
     from captionax.decode.service import make_http_server

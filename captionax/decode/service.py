@@ -51,6 +51,7 @@ class CaptionService:
         image_size: int = 224,
         use_fused: Optional[bool] = None,
         decode: str = "beam",
+        mesh=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -113,16 +114,43 @@ class CaptionService:
 
             return pack_beam_result(res)
 
-        @jax.jit
-        def _dispatch(ep, dp, th, imgs, rows):
+        def _dispatch_fn(ep, dp, th, imgs, rows):
             feats = encoder_cnn(ep, preprocess_images(imgs))
             return _decode_tokens(dp, th, feats, rows)
 
+        if mesh is None:
+            _dispatch = jax.jit(_dispatch_fn)
+            put = jax.device_put
+        else:
+            # multi-chip serving: batch sharded over the mesh's "data"
+            # axis, weights replicated; GSPMD partitions the whole
+            # image->encoder->beam program (batch_size must divide by
+            # the data-axis size).  The fused kernel additionally has a
+            # shard_map route (serving.make_sharded_beam_decode, used by
+            # dryrun_multichip); this jit route covers the scan decoders
+            # on any backend.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the mesh "
+                    f"data axis ({n_data})"
+                )
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("data"))
+            _dispatch = jax.jit(
+                _dispatch_fn,
+                in_shardings=(repl, repl, repl, bsh, bsh),
+                out_shardings=bsh,
+            )
+            put = lambda t: jax.device_put(t, repl)  # noqa: E731
+
         # device-resident weights passed as ARGUMENTS (closed-over
         # constants inflate the relay compile payload -> HTTP 413)
-        ep = jax.device_put(encoder_params)
-        dp = jax.device_put(decoder)
-        th = jax.device_put(bank) if bank is not None else None
+        ep = put(encoder_params)
+        dp = put(decoder)
+        th = put(bank) if bank is not None else None
         self._batcher = MicroBatcher(
             lambda imgs, rows: _dispatch(ep, dp, th, imgs, rows),
             batch_size=batch_size,

@@ -185,6 +185,57 @@ class TestServiceLibrary:
         assert set(out) == {"caption", "style"}
         assert isinstance(out["caption"], str)
 
+    def test_mesh_sharded_service_matches_single_device(self):
+        """mesh= shards each dispatch over the data axis (8 virtual CPU
+        devices here); captions must match the unsharded service."""
+        import jax
+
+        from captionax.core.vocab import build_vocab
+        from captionax.decode.service import CaptionService
+        from captionax.models import decoder as dec
+        from captionax.models.encoder import resnet_init
+        from captionax.models.hypernet import hypernet_init
+        from captionax.parallel.mesh import make_mesh
+
+        vocab = build_vocab(["a dog runs fast", "a cat sits still"], [])
+        k = jax.random.split(jax.random.PRNGKey(0), 3)
+        E = H = F = 16
+        params = {
+            "decoder": dec.attention_gru_init(k[0], 2048, F, E, H,
+                                              len(vocab)),
+            "hn": hypernet_init(k[1], hyper_emb=E, input_dim=E + F,
+                                hidden_dim=H),
+        }
+        enc = resnet_init(k[2], depth=50)
+        img = (np.arange(224 * 224 * 3) % 251).reshape(
+            224, 224, 3).astype(np.uint8)
+        kw = dict(styles=["factual", "humour"], batch_size=8, max_steps=5,
+                  use_fused=False)
+        with CaptionService(params, enc, vocab, **kw) as single:
+            want = single.caption_array(img, "humour")
+        mesh = make_mesh(n_data=8)
+        with CaptionService(params, enc, vocab, mesh=mesh, **kw) as shard:
+            got = shard.caption_array(img, "humour")
+        assert got["caption"] == want["caption"]
+        np.testing.assert_allclose(got["score"], want["score"], rtol=1e-5)
+
+    def test_mesh_batch_size_must_divide(self):
+        import jax
+
+        from captionax.core.vocab import build_vocab
+        from captionax.decode.service import CaptionService
+        from captionax.models import decoder as dec
+        from captionax.models.encoder import resnet_init
+        from captionax.parallel.mesh import make_mesh
+
+        vocab = build_vocab(["a dog runs fast"], [])
+        k = jax.random.split(jax.random.PRNGKey(0), 2)
+        params = dec.attention_gru_init(k[0], 2048, 8, 8, 8, len(vocab))
+        with pytest.raises(ValueError, match="divide"):
+            CaptionService(params, resnet_init(k[1], depth=50), vocab,
+                           batch_size=3, max_steps=4, use_fused=False,
+                           mesh=make_mesh(n_data=8))
+
     def test_submit_unknown_style_raises(self, served):
         service, _port = served
         with pytest.raises(KeyError):
