@@ -159,6 +159,32 @@ class CaptionService:
             feature_dtype=np.uint8,
         )
 
+        self._stats_lock = threading.Lock()
+        self._lat_ms: list = []  # ring buffer of recent request latencies
+        self._served = 0
+        self._errors = 0
+
+    def _record(self, dt_ms: float, error: bool = False):
+        with self._stats_lock:
+            if error:
+                self._errors += 1
+            else:
+                self._served += 1
+                self._lat_ms.append(dt_ms)
+                if len(self._lat_ms) > 4096:
+                    del self._lat_ms[:2048]
+
+    def stats(self) -> dict:
+        """Served/error counts + recent latency percentiles (ms)."""
+        with self._stats_lock:
+            lat = np.asarray(self._lat_ms, np.float64)
+            out = {"served": self._served, "errors": self._errors,
+                   "styles": self.styles, "decode": self.decode}
+        if lat.size:
+            out["p50_ms"] = round(float(np.percentile(lat, 50)), 2)
+            out["p95_ms"] = round(float(np.percentile(lat, 95)), 2)
+        return out
+
     # -- request paths ----------------------------------------------------
 
     def submit_array(self, img: np.ndarray, style: str):
@@ -176,9 +202,17 @@ class CaptionService:
         return self._batcher.submit(img, self._sid[style])
 
     def caption_array(self, img: np.ndarray, style: str) -> dict:
+        import time
+
         from captionax.eval.metrics import ids_to_text
 
-        out = self.submit_array(img, style).result()
+        t0 = time.perf_counter()
+        try:
+            out = self.submit_array(img, style).result()
+        except Exception:
+            self._record(0.0, error=True)
+            raise
+        self._record((time.perf_counter() - t0) * 1e3)
         if self.decode == "greedy":
             return {"caption": ids_to_text(out, self.vocab), "style": style}
         res = unpack_beam_result(out[None])
@@ -213,6 +247,7 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
     Endpoints:
 
     - ``GET /healthz`` -> ``{"status": "ok", "styles": [...]}``
+    - ``GET /stats``   -> served/error counts + recent p50/p95 ms
     - ``POST /caption`` with an ``image/jpeg`` / ``image/png`` body
       (style via ``?style=...``), or an ``application/json`` body
       ``{"image_b64": ..., "style": ...}``.
@@ -246,10 +281,13 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
             pass
 
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 self._json(200, {"status": "ok",
                                  "styles": service.styles,
                                  "decode": service.decode})
+            elif path == "/stats":
+                self._json(200, service.stats())
             else:
                 self._json(404, {"error": "not found"})
 

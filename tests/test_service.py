@@ -105,6 +105,15 @@ class TestHttpSurface:
             _post(port, "/caption", b"not an image", "image/jpeg")
         assert ei.value.code == 400
 
+    def test_stats_endpoint(self, served):
+        _service, port = served
+        _post(port, "/caption?style=factual", _jpeg_bytes(), "image/jpeg")
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            body = json.loads(r.read())
+        assert body["served"] >= 1
+        assert body["p50_ms"] > 0
+
     def test_unknown_path_is_404(self, served):
         _service, port = served
         with pytest.raises(urllib.error.HTTPError) as ei:
