@@ -100,8 +100,8 @@ class CaptionService:
 
         def _decode_tokens(dp, th, feats, rows):
             if bank is not None and not use_fused:
+                # scan decoders take per-row theta, not a bank
                 th = jax.tree_util.tree_map(lambda t: t[rows], th)
-                rows = None
             kw = {"gru_params": th}
             if bank is not None and use_fused:
                 kw["style_rows"] = rows
