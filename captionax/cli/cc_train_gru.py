@@ -18,6 +18,7 @@ from captionax.cli.common import (
     make_parser,
     maybe_load_glove,
     parse_configs,
+    resolve_mesh,
     resolve_vocab,
 )
 from captionax.data.cc import ConceptualCaptionsData, load_cc_captions
@@ -51,6 +52,7 @@ def main(argv=None):
     trainer = CaptionTrainer(
         params, "gru", train_cfg, vocab,
         encoder_params=encoder_params, run_name=args.run_name,
+        mesh=resolve_mesh(args),
     )
     if args.resume:
         resumed = trainer.maybe_resume(args.resume if args.resume != "auto" else None)

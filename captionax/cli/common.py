@@ -40,7 +40,24 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     add_dataclass_args(p, DataConfig)
     p.add_argument("--run-name", type=str, default="run")
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard training batches over N devices on the "
+                        "'data' mesh axis (0 = single device); grads "
+                        "all-reduce over ICI via GSPMD")
     return p
+
+
+def resolve_mesh(args):
+    """Build the data-parallel mesh requested by ``--mesh-data`` (None when
+    unset).  The reference never ran its commented-out DDP
+    (/root/reference/hypernet_attention.py:441, SURVEY §2.10); here
+    multi-chip data parallelism is a CLI flag."""
+    n = getattr(args, "mesh_data", 0)
+    if not n:
+        return None
+    from captionax.parallel.mesh import make_mesh
+
+    return make_mesh(n_data=n)
 
 
 def parse_configs(args):

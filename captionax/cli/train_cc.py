@@ -19,6 +19,7 @@ from captionax.cli.common import (
     build_hypernet_model,
     make_parser,
     parse_configs,
+    resolve_mesh,
     resolve_vocab,
 )
 from captionax.data.cc_stream import (
@@ -65,7 +66,7 @@ def main(argv=None):
     trainer = CaptionTrainer(
         params, "hypernet", train_cfg, vocab,
         encoder_params=encoder_params, embed_fn=embed_fn,
-        run_name=args.run_name,
+        run_name=args.run_name, mesh=resolve_mesh(args),
     )
     if args.resume:
         resumed = trainer.maybe_resume(args.resume if args.resume != "auto" else None)

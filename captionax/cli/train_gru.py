@@ -19,6 +19,7 @@ from captionax.cli.common import (
     maybe_load_glove,
     parse_configs,
     resolve_flickr_data,
+    resolve_mesh,
     resolve_vocab,
 )
 from captionax.train.harness import CaptionTrainer
@@ -47,6 +48,7 @@ def main(argv=None):
     trainer = CaptionTrainer(
         params, "gru", train_cfg, vocab,
         encoder_params=encoder_params, run_name=args.run_name,
+        mesh=resolve_mesh(args),
     )
     if args.resume:
         resumed = trainer.maybe_resume(args.resume if args.resume != "auto" else None)

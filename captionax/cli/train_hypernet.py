@@ -19,6 +19,7 @@ from captionax.cli.common import (
     maybe_load_glove,
     parse_configs,
     resolve_flickr_data,
+    resolve_mesh,
     resolve_vocab,
 )
 from captionax.train.harness import CaptionTrainer
@@ -61,6 +62,7 @@ def main(argv=None):
         params, "hypernet", train_cfg, vocab,
         encoder_params=encoder_params, run_name=args.run_name,
         style_classifier_params=clf_params,
+        mesh=resolve_mesh(args),
         embed_fn=dedicated_style_embed if model_cfg.dedicated_style_tokens
         else style_token_embed,
     )

@@ -68,6 +68,19 @@ class TestCoreClis:
                                  "--styles", "factual"))
         assert "factual" in results
 
+    def test_train_gru_mesh_data(self, tmp_path):
+        """--mesh-data N trains data-parallel over the virtual 8-device
+        mesh through the same CLI surface (harness shards batches over
+        the ``data`` axis; grads all-reduce via GSPMD)."""
+        from captionax.cli.train_gru import main
+
+        hist = main(args(tmp_path, "--mesh-data", "8",
+                         "--batch-size", "8", "--synthetic-images", "16"))
+        assert hist is not None
+        import numpy as np
+
+        assert np.isfinite(hist[0]["train_loss_epoch"])
+
     def test_visualize_random_init(self, tmp_path):
         from captionax.cli.visualize import main as viz_main
 

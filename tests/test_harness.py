@@ -306,3 +306,55 @@ class TestFeatureCache:
         np.testing.assert_allclose(
             h1[1]["train_loss_epoch"], h0[1]["train_loss_epoch"], rtol=1e-6
         )
+
+
+class TestMeshTraining:
+    """CaptionTrainer(mesh=...) — the full harness path behind the
+    training CLIs' ``--mesh-data`` flag (loader shard_batch placement,
+    lazily jitted data-parallel step, replicated param updates) must
+    reproduce single-device training numerics."""
+
+    B8 = 8
+
+    def _batches(self, vocab_size, seed, n_batches=3):
+        rng = np.random.RandomState(seed)
+        out = []
+        for i in range(n_batches):
+            out.append({
+                "features": rng.randn(self.B8, R, NF).astype(np.float32),
+                "captions": rng.randint(
+                    1, vocab_size, (self.B8, T)).astype(np.int32),
+                "style_id": np.int32([4, 3, 6][i % 3]),
+            })
+        return out
+
+    def _run(self, model, tmp_path, mesh, tag):
+        cfg = TrainConfig(max_epochs=2, batch_size=self.B8, lr=1e-3,
+                          checkpoint_dir=str(tmp_path / tag), log_every=100,
+                          beam_max_steps=6)
+        fresh = jax.tree_util.tree_map(jnp.array, model)  # donated buffers
+        trainer = CaptionTrainer(fresh, "hypernet", cfg, FakeVocab(V),
+                                 mesh=mesh, run_name=tag)
+        hist = trainer.fit(
+            lambda epoch: self._batches(V, seed=epoch),
+            lambda: self._batches(V, seed=99, n_batches=1),
+        )
+        return trainer, hist
+
+    def test_harness_mesh_matches_single_device(self, model, tmp_path):
+        assert len(jax.devices()) == 8
+        from captionax.parallel.mesh import make_mesh
+
+        _, h1 = self._run(model, tmp_path, None, "single")
+        tr8, h8 = self._run(model, tmp_path, make_mesh(), "mesh8")
+
+        for epoch in (0, 1):
+            np.testing.assert_allclose(
+                h8[epoch]["train_loss_epoch"], h1[epoch]["train_loss_epoch"],
+                rtol=2e-5)
+            np.testing.assert_allclose(
+                h8[epoch]["val_loss_tf"], h1[epoch]["val_loss_tf"],
+                rtol=2e-5)
+        # params actually live replicated over all 8 devices
+        leaf = jax.tree_util.tree_leaves(tr8.state.params)[0]
+        assert len(leaf.sharding.device_set) == 8
