@@ -1,0 +1,111 @@
+"""Bulk offline image->caption throughput: the full production interface
+(uint8 images in, finished captions out) at large batch on one chip.
+
+One jit: preprocess (Rescale+normalize, data_loader.py:175-218 semantics)
+-> frozen ResNet-152 (models/encoder.py:7-26) -> hypernet theta
+(hypernet_attention.py:111-121) -> fused Pallas k=3 beam
+(hypernet_attention.py:242-313 semantics).  Two measurements:
+
+- ``host-payload``: images stream from host numpy through the axon relay
+  (pipelined dispatch) — bounded by the relay's ~30 MB/s ingest, so this
+  is the *relay* number, not the chip number.
+- ``device-resident``: images staged on device once, timed loop with a
+  packed-result fetch as the completion barrier — the chip's bulk
+  image->caption rate (what a non-relay TPU host sustains, since GB/s
+  DMA makes the payload negligible there).
+
+Usage:  python benchmarks/bulk_caption.py [batch] [iters]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from captionax.core.runtime import setup_runtime
+
+setup_runtime()
+import jax.numpy as jnp
+import numpy as np
+
+NF, FO, E, H, V, MAX_STEPS = 2048, 200, 200, 200, 9684, 50
+
+
+def main(batch: int = 256, iters: int = 8):
+    from captionax.data.transforms import preprocess_images
+    from captionax.decode.serving import PipelinedDecoder, pack_beam_result
+    from captionax.models import decoder as dec
+    from captionax.models.encoder import encoder_cnn, resnet_init
+    from captionax.models.hypernet import hypernet_init
+    from captionax.ops.decode_kernel import fused_beam_search
+    from captionax.train.steps import synthesize_theta
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "decoder": dec.attention_gru_init(k1, NF, FO, E, H, V),
+        "hn": hypernet_init(k2, hyper_emb=E, input_dim=E + FO, hidden_dim=H),
+    }
+    encoder_params = resnet_init(k3, depth=152)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
+    style_id = jnp.asarray(4, jnp.int32)
+
+    @jax.jit
+    def img2caps(params, encoder_params, images, style_id):
+        feats = encoder_cnn(encoder_params, preprocess_images(images))
+        theta = synthesize_theta(params, style_id)
+        return pack_beam_result(
+            fused_beam_search(
+                params["decoder"], feats, gru_params=theta,
+                max_steps=MAX_STEPS,
+            )
+        )
+
+    print(f"compiling fused image->caption program at B={batch} ...",
+          flush=True)
+    t0 = time.perf_counter()
+    out = np.asarray(img2caps(params, encoder_params, imgs, style_id))
+    print(f"compiled+first-run in {time.perf_counter() - t0:.1f} s, "
+          f"packed result {out.shape}", flush=True)
+
+    # 1) host payload, pipelined dispatch (relay-ingest bound)
+    srv = PipelinedDecoder(
+        lambda im: img2caps(params, encoder_params, im, style_id)
+    )
+    t0 = time.perf_counter()
+    outs = list(srv.map([imgs] * iters))
+    dt_host = (time.perf_counter() - t0) / iters
+    assert len(outs) == iters and outs[-1].shape == (batch, MAX_STEPS + 4)
+
+    # 2) device-resident images (chip-rate; fetch barrier per iteration)
+    dimgs = jax.device_put(imgs)
+    np.asarray(img2caps(params, encoder_params, dimgs, style_id))  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(img2caps(params, encoder_params, dimgs, style_id))
+    dt_dev = (time.perf_counter() - t0) / iters
+
+    payload_mb = imgs.nbytes / 1e6
+    print(json.dumps({
+        "metric": "bulk_image_to_caption",
+        "batch": batch,
+        "beam_k": 3,
+        "max_steps": MAX_STEPS,
+        "host_payload_caps_per_sec": round(batch / dt_host, 1),
+        "host_payload_ms_per_batch": round(dt_host * 1e3, 1),
+        "payload_mb_per_batch": round(payload_mb, 1),
+        "implied_ingest_mb_per_sec": round(payload_mb / dt_host, 1),
+        "device_resident_caps_per_sec": round(batch / dt_dev, 1),
+        "device_resident_ms_per_batch": round(dt_dev * 1e3, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main(*(int(a) for a in sys.argv[1:]))
