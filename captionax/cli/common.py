@@ -41,9 +41,10 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--run-name", type=str, default="run")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--mesh-data", type=int, default=0,
-                   help="shard training batches over N devices on the "
-                        "'data' mesh axis (0 = single device); grads "
-                        "all-reduce over ICI via GSPMD")
+                   help="shard batches (training steps, or serve "
+                        "dispatches) over N devices on the 'data' mesh "
+                        "axis (0 = single device); grads/collectives "
+                        "ride ICI via GSPMD")
     return p
 
 

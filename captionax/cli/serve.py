@@ -78,9 +78,8 @@ def main(argv=None):
     parser.add_argument("--window", type=int, default=64,
                         help="MicroBatcher compiled batch (the coalescing "
                              "window; requests/dispatch ceiling)")
-    parser.add_argument("--mesh-data", type=int, default=0,
-                        help="shard each dispatch over this many devices "
-                             "(data axis); 0 = single device")
+    # --mesh-data comes from make_parser; here it shards each inference
+    # dispatch over the data axis (service.py mesh note)
     args = parser.parse_args(argv)
 
     from captionax.decode.service import make_http_server

@@ -17,6 +17,28 @@ def test_console_scripts_resolve():
         assert callable(fn), f"{name} -> {target} is not callable"
 
 
+def test_every_cli_parser_builds_and_prints_help():
+    """Each CLI's argparse surface must construct (catches duplicate /
+    conflicting flags between make_parser and per-CLI add_argument —
+    regressed once when --mesh-data moved into make_parser while
+    cli/serve still defined its own)."""
+    import contextlib
+    import io
+
+    with open("pyproject.toml", "rb") as f:
+        proj = tomllib.load(f)["project"]
+    for name, target in proj["scripts"].items():
+        mod_name, func_name = target.split(":")
+        main = getattr(importlib.import_module(mod_name), func_name)
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                main(["--help"])
+        except SystemExit as e:
+            assert e.code == 0, f"{name}: --help exited {e.code}"
+        assert "usage:" in buf.getvalue(), f"{name}: no usage in --help"
+
+
 def test_package_metadata_consistent():
     with open("pyproject.toml", "rb") as f:
         data = tomllib.load(f)
