@@ -284,10 +284,11 @@ def phase_dedicated_train(args):
     feats = np.load(feature_path(args.images)).astype(np.float32)
     model_cfg = ModelConfig(vocab_size=len(vocab),
                             dedicated_style_tokens=True)
+    suffix = f"_{args.tag}" if args.tag else ""
     cfg = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
         seed=args.seed,
-        checkpoint_dir=os.path.join(OUT_DIR, "ckpt_dedicated"),
+        checkpoint_dir=os.path.join(OUT_DIR, f"ckpt_dedicated{suffix}"),
     )
     params = build_hypernet_model(model_cfg, vocab,
                                   jax.random.PRNGKey(args.seed),
@@ -307,7 +308,8 @@ def phase_dedicated_train(args):
                              feats),
     )
     host = jax.tree_util.tree_map(np.asarray, trainer.params)
-    with open(os.path.join(OUT_DIR, "trained_hypernet_dedicated.pkl"),
+    with open(os.path.join(OUT_DIR,
+                           f"trained_hypernet_dedicated{suffix}.pkl"),
               "wb") as f:
         pickle.dump(host, f)
     print(f"dedicated-token hypernet saved ({time.time() - t0:.0f}s)")

@@ -314,6 +314,15 @@ class CaptionTrainer:
             found = self.lr_find(train_batches,
                                  num_training=cfg.lr_find_steps)
             print(f"lr_find: suggested lr={found}")
+        if cfg.trace_dir:
+            from captionax.core.runtime import trace
+
+            with trace(cfg.trace_dir):
+                return self._fit_epochs(train_batches, val_batches, history)
+        return self._fit_epochs(train_batches, val_batches, history)
+
+    def _fit_epochs(self, train_batches, val_batches, history) -> Dict:
+        cfg = self.config
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
             n, loss_sum = 0, 0.0

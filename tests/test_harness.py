@@ -358,3 +358,18 @@ class TestMeshTraining:
         # params actually live replicated over all 8 devices
         leaf = jax.tree_util.tree_leaves(tr8.state.params)[0]
         assert len(leaf.sharding.device_set) == 8
+
+
+class TestTraceDir:
+    def test_fit_under_trace_writes_profile(self, model, tmp_path):
+        """--trace-dir wraps the fit loop in a jax.profiler trace
+        (first-class profiling; the reference has none, SURVEY §5)."""
+        cfg = TrainConfig(max_epochs=1, batch_size=B, lr=1e-3,
+                          checkpoint_dir=str(tmp_path / "c"), log_every=100,
+                          trace_dir=str(tmp_path / "trace"))
+        trainer = CaptionTrainer(model, "hypernet", cfg, FakeVocab(V),
+                                 run_name="tr")
+        hist = trainer.fit(lambda epoch: feature_batches(V, seed=epoch))
+        assert np.isfinite(hist[0]["train_loss_epoch"])
+        files = list((tmp_path / "trace").rglob("*"))
+        assert any(f.is_file() for f in files), "no profiler artifacts"
