@@ -14,7 +14,13 @@ One jit: preprocess (Rescale+normalize, data_loader.py:175-218 semantics)
   image->caption rate (what a non-relay TPU host sustains, since GB/s
   DMA makes the payload negligible there).
 
-Usage:  python benchmarks/bulk_caption.py [batch] [iters]
+With ``--int8`` the frozen encoder additionally runs quantized
+(models/encoder.py resnet_quantize: per-channel int8 weights, dynamic
+activation quant, int32 MXU accumulation) and the output reports the
+int8 rate plus caption-token agreement vs the bf16 path on the same
+batch — the serving-accuracy check for quantized deployment.
+
+Usage:  python benchmarks/bulk_caption.py [batch] [iters] [--int8]
 """
 
 from __future__ import annotations
@@ -37,11 +43,16 @@ import numpy as np
 NF, FO, E, H, V, MAX_STEPS = 2048, 200, 200, 200, 9684, 50
 
 
-def main(batch: int = 256, iters: int = 8):
+def main(batch: int = 256, iters: int = 8, int8: bool = False):
     from captionax.data.transforms import preprocess_images
     from captionax.decode.serving import PipelinedDecoder, pack_beam_result
     from captionax.models import decoder as dec
-    from captionax.models.encoder import encoder_cnn, resnet_init
+    from captionax.models.encoder import (
+        encoder_cnn,
+        encoder_cnn_int8,
+        resnet_init,
+        resnet_quantize,
+    )
     from captionax.models.hypernet import hypernet_init
     from captionax.ops.decode_kernel import fused_beam_search
     from captionax.train.steps import synthesize_theta
@@ -91,6 +102,51 @@ def main(batch: int = 256, iters: int = 8):
         np.asarray(img2caps(params, encoder_params, dimgs, style_id))
     dt_dev = (time.perf_counter() - t0) / iters
 
+    int8_fields = {}
+    if int8:
+        from captionax.models.encoder import resnet_calibrate
+
+        # calibrated static activation scales (the serving config —
+        # dynamic scales cost an unfused max-reduce pass per conv)
+        scales = jax.jit(
+            lambda ep, im: resnet_calibrate(ep, preprocess_images(im))
+        )(encoder_params, dimgs)
+        qparams = resnet_quantize(encoder_params, act_scales=scales)
+
+        @jax.jit
+        def img2caps_int8(params, qparams, images, style_id):
+            feats = encoder_cnn_int8(qparams, preprocess_images(images))
+            theta = synthesize_theta(params, style_id)
+            return pack_beam_result(
+                fused_beam_search(
+                    params["decoder"], feats, gru_params=theta,
+                    max_steps=MAX_STEPS,
+                )
+            )
+
+        print(f"compiling int8-encoder program at B={batch} ...", flush=True)
+        t0 = time.perf_counter()
+        q_out = np.asarray(img2caps_int8(params, qparams, dimgs, style_id))
+        print(f"compiled+first-run in {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            q_out = np.asarray(img2caps_int8(params, qparams, dimgs, style_id))
+        dt_int8 = (time.perf_counter() - t0) / iters
+        bf16_out = np.asarray(img2caps(params, encoder_params, dimgs, style_id))
+        # packed layout: tokens first, then length/score metadata; compare
+        # caption tokens only
+        tok_agree = float((q_out[:, :MAX_STEPS] ==
+                           bf16_out[:, :MAX_STEPS]).mean())
+        cap_ident = float((q_out[:, :MAX_STEPS] ==
+                           bf16_out[:, :MAX_STEPS]).all(axis=1).mean())
+        int8_fields = {
+            "int8_device_resident_caps_per_sec": round(batch / dt_int8, 1),
+            "int8_device_resident_ms_per_batch": round(dt_int8 * 1e3, 1),
+            "int8_token_agreement": round(tok_agree, 4),
+            "int8_identical_captions": round(cap_ident, 4),
+        }
+
     payload_mb = imgs.nbytes / 1e6
     print(json.dumps({
         "metric": "bulk_image_to_caption",
@@ -103,9 +159,11 @@ def main(batch: int = 256, iters: int = 8):
         "implied_ingest_mb_per_sec": round(payload_mb / dt_host, 1),
         "device_resident_caps_per_sec": round(batch / dt_dev, 1),
         "device_resident_ms_per_batch": round(dt_dev * 1e3, 1),
+        **int8_fields,
         "device": str(jax.devices()[0]),
     }))
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    argv = [a for a in sys.argv[1:] if a != "--int8"]
+    main(*(int(a) for a in argv), int8="--int8" in sys.argv)

@@ -49,7 +49,7 @@ def timeit(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def main(batch=256, iters=5):
+def main(batch=256, iters=5, int8=False):
     params = enc.resnet_init(jax.random.PRNGKey(0), 152)
     images = jax.device_put(
         jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3))
@@ -57,6 +57,22 @@ def main(batch=256, iters=5):
 
     full = jax.jit(enc.resnet_apply)
     t_full = timeit(full, params, images, iters=iters)
+
+    if int8:
+        qfull = jax.jit(enc.resnet_apply_int8)
+        # dynamic per-tensor activation scales: the max reduce is an
+        # unfused memory pass per conv
+        qdyn = enc.resnet_quantize(params)
+        t_q = timeit(qfull, qdyn, images, iters=iters)
+        print(f"int8-dynamic resnet152 B={batch}: {t_q*1e3:.1f} ms  "
+              f"({batch/t_q:.0f} img/s, {t_full/t_q:.2f}x over bf16)")
+        # calibrated static scales: quant/dequant is elementwise, fuses
+        # into the conv epilogues
+        scales = jax.jit(enc.resnet_calibrate)(params, images)
+        qcal = enc.resnet_quantize(params, act_scales=scales)
+        t_c = timeit(qfull, qcal, images, iters=iters)
+        print(f"int8-calibrated resnet152 B={batch}: {t_c*1e3:.1f} ms  "
+              f"({batch/t_c:.0f} img/s, {t_full/t_c:.2f}x over bf16)")
     print(f"full resnet152 B={batch}: {t_full*1e3:.1f} ms  "
           f"({batch/t_full:.0f} img/s)")
 
@@ -77,6 +93,7 @@ def main(batch=256, iters=5):
 
 
 if __name__ == "__main__":
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    it = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    main(b, it)
+    argv = [a for a in sys.argv[1:] if a != "--int8"]
+    b = int(argv[0]) if len(argv) > 0 else 256
+    it = int(argv[1]) if len(argv) > 1 else 5
+    main(b, it, int8="--int8" in sys.argv)

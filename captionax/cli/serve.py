@@ -61,6 +61,7 @@ def build_service(args):
         use_fused=use_fused,
         decode=args.decode,
         mesh=mesh,
+        int8_encoder=args.int8_encoder,
     )
 
 
@@ -73,6 +74,10 @@ def main(argv=None):
     parser.add_argument("--decode", type=str, default="beam",
                         choices=["beam", "greedy"])
     parser.add_argument("--no-fused", action="store_true")
+    parser.add_argument("--int8-encoder", action="store_true",
+                        help="serve with the quantized int8 encoder "
+                             "(2.4x encoder speedup on v5e; see "
+                             "models/encoder.py resnet_quantize)")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--window", type=int, default=64,

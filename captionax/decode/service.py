@@ -52,12 +52,18 @@ class CaptionService:
         use_fused: Optional[bool] = None,
         decode: str = "beam",
         mesh=None,
+        int8_encoder: bool = False,
+        int8_calibration=None,
     ):
         import jax
         import jax.numpy as jnp
 
         from captionax.data.transforms import preprocess_images
-        from captionax.models.encoder import encoder_cnn
+        from captionax.models.encoder import (
+            encoder_cnn,
+            encoder_cnn_int8,
+            resnet_quantize,
+        )
 
         if decode not in ("beam", "greedy"):
             raise ValueError(f"decode must be beam|greedy, got {decode!r}")
@@ -114,8 +120,34 @@ class CaptionService:
 
             return pack_beam_result(res)
 
+        if int8_encoder:
+            # quantized serving: frozen encoder weights -> per-channel
+            # int8, int32 MXU accumulation, with STATIC activation
+            # scales calibrated here on a preprocessed random-pixel
+            # batch (static scales keep the quant chain elementwise so
+            # it fuses into the conv epilogues; dynamic scales measure
+            # slower than bf16 — models/encoder.py resnet_quantize.
+            # Caption-token agreement vs bf16 is measured on-chip by
+            # benchmarks/bulk_caption.py --int8.)
+            from captionax.models.encoder import resnet_calibrate
+
+            calib = int8_calibration
+            if calib is None:
+                calib = np.random.RandomState(0).randint(
+                    0, 256, (8, image_size, image_size, 3), dtype=np.uint8
+                )
+            scales = jax.jit(
+                lambda ep, im: resnet_calibrate(ep, preprocess_images(im))
+            )(encoder_params, jnp.asarray(calib, jnp.uint8))
+            # 1.5x margin: pass real images via int8_calibration= to
+            # tighten; activations past the calibrated max clip
+            scales = jax.tree_util.tree_map(lambda s: s * 1.5, scales)
+            encoder_params = resnet_quantize(encoder_params,
+                                             act_scales=scales)
+        encode = encoder_cnn_int8 if int8_encoder else encoder_cnn
+
         def _dispatch_fn(ep, dp, th, imgs, rows):
-            feats = encoder_cnn(ep, preprocess_images(imgs))
+            feats = encode(ep, preprocess_images(imgs))
             return _decode_tokens(dp, th, feats, rows)
 
         if mesh is None:

@@ -220,6 +220,156 @@ def encoder_lstm_apply(
     return out, (r_mean, r_var)
 
 
+# ------------------------------------------------- int8 inference path --
+def resnet_quantize(params: Dict, act_scales: Optional[Dict] = None) -> Dict:
+    """Quantize a folded-BN ResNet for int8 inference serving.
+
+    Per-conv: the BN scale folds into the kernel (exact in f32), then the
+    folded kernel quantizes symmetrically per OUTPUT channel to int8.
+    Biases and the stem stay as-is (the 3-input-channel stem conv gains
+    nothing from the int8 MXU mode and runs bf16).
+
+    ``act_scales`` (from :func:`resnet_calibrate`) stores a STATIC
+    per-conv activation max: the quantize/dequantize chain then becomes
+    pure elementwise work XLA fuses into the conv epilogues.  Without it
+    the apply path falls back to dynamic per-tensor scales, which insert
+    a full-tensor max reduce (an unfused memory pass) before every conv
+    — measured SLOWER than bf16 end-to-end on v5e (0.77x) even though
+    the int8 convs themselves run 2.4x faster.  Calibrate for serving.
+
+    Rationale: the reference freezes its CNNs outright
+    (/root/reference/models/encoder.py:12-13), so serving-time encoder
+    weights are static — ideal for quantization.  On TPU v5e the int8
+    systolic-array mode doubles peak over bf16
+    (benchmarks/encoder_profile.py --int8).
+    """
+    def quantize_conv(p, ascale):
+        folded = p["kernel"].astype(jnp.float32) * p["scale"].astype(
+            jnp.float32
+        )
+        wscale = jnp.maximum(
+            jnp.max(jnp.abs(folded), axis=(0, 1, 2)) / 127.0, 1e-12
+        )
+        q = jnp.clip(jnp.round(folded / wscale), -127, 127).astype(jnp.int8)
+        out = {"q": q, "wscale": wscale,
+               "bias": p["bias"].astype(jnp.float32)}
+        if ascale is not None:
+            out["ascale"] = jnp.maximum(
+                jnp.asarray(ascale, jnp.float32) / 127.0, 1e-12
+            )
+        return out
+
+    out: Dict = {"stem": params["stem"]}
+    out["stages"] = [
+        [
+            {
+                k: quantize_conv(
+                    v,
+                    None
+                    if act_scales is None
+                    else act_scales["stages"][s][b][k],
+                )
+                for k, v in block.items()
+            }
+            for b, block in enumerate(blocks)
+        ]
+        for s, blocks in enumerate(params["stages"])
+    ]
+    return out
+
+
+def resnet_calibrate(
+    params: Dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16
+) -> Dict:
+    """Run the f32/bf16 forward on a calibration batch and record each
+    conv's input max — the static activation scales for
+    :func:`resnet_quantize`.  Inputs outside the calibrated range clip
+    at serving time, so calibrate on representative (preprocessed)
+    images."""
+    scales: Dict = {"stages": []}
+    x = resnet_stem(params["stem"], images, compute_dtype)
+
+    def amax(t):
+        return jnp.max(jnp.abs(t)).astype(jnp.float32)
+
+    for s, blocks in enumerate(params["stages"]):
+        stage_scales = []
+        for b, block in enumerate(blocks):
+            stride = 2 if (s > 0 and b == 0) else 1
+            rec = {"conv1": amax(x)}
+            identity = x
+            y = jax.nn.relu(_conv(x, block["conv1"], 1, compute_dtype))
+            rec["conv2"] = amax(y)
+            y = jax.nn.relu(_conv(y, block["conv2"], stride, compute_dtype))
+            rec["conv3"] = amax(y)
+            y = _conv(y, block["conv3"], 1, compute_dtype)
+            if "downsample" in block:
+                rec["downsample"] = rec["conv1"]
+                identity = _conv(x, block["downsample"], stride, compute_dtype)
+            x = jax.nn.relu(y + identity)
+            stage_scales.append(rec)
+        scales["stages"].append(stage_scales)
+    return scales
+
+
+def _qconv(x, qp, stride=1, compute_dtype=jnp.bfloat16):
+    """Activation quant (static scale if calibrated, else dynamic) ->
+    int8 conv -> dequant+bias."""
+    if "ascale" in qp:
+        ascale = qp["ascale"]
+    else:
+        ascale = jnp.maximum(
+            jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0, 1e-12
+        )
+    qx = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / ascale), -127, 127
+    ).astype(jnp.int8)
+    kh, kw = qp["q"].shape[:2]
+    y = jax.lax.conv_general_dilated(
+        qx,
+        qp["q"],
+        window_strides=(stride, stride),
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    deq = y.astype(jnp.float32) * (ascale * qp["wscale"]) + qp["bias"]
+    return deq.astype(compute_dtype)
+
+
+def resnet_apply_int8(
+    qparams: Dict,
+    images: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """int8 twin of :func:`resnet_apply` over :func:`resnet_quantize` output.
+
+    Residual adds and relus stay in ``compute_dtype``; every bottleneck
+    conv runs int8 x int8 -> int32 on the MXU's double-rate path.
+    """
+    x = resnet_stem(qparams["stem"], images, compute_dtype)
+    for s, blocks in enumerate(qparams["stages"]):
+        for b, block in enumerate(blocks):
+            stride = 2 if (s > 0 and b == 0) else 1
+            identity = x
+            y = jax.nn.relu(_qconv(x, block["conv1"], 1, compute_dtype))
+            y = jax.nn.relu(_qconv(y, block["conv2"], stride, compute_dtype))
+            y = _qconv(y, block["conv3"], 1, compute_dtype)
+            if "downsample" in block:
+                identity = _qconv(x, block["downsample"], stride, compute_dtype)
+            x = jax.nn.relu(y + identity)
+    return x.astype(jnp.float32)
+
+
+def encoder_cnn_int8(
+    qparams: Dict, images: jnp.ndarray, compute_dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """EncoderCNN semantics over the int8 trunk -> [B, 49, 2048] tokens."""
+    fmap = resnet_apply_int8(qparams, images, compute_dtype)
+    B, h, w, C = fmap.shape
+    return fmap.reshape(B, h * w, C)
+
+
 # ------------------------------------------------- torch weight import --
 def from_torch_state_dict(state_dict, depth: int = 152, eps: float = 1e-5) -> Dict:
     """Convert a torchvision resnet state_dict (tensors or numpy arrays)

@@ -15,9 +15,12 @@ import jax.numpy as jnp  # noqa: E402
 from captionax.models.encoder import (
     adaptive_avg_pool,
     encoder_cnn,
+    encoder_cnn_int8,
     from_torch_state_dict,
     resnet_apply,
+    resnet_apply_int8,
     resnet_init,
+    resnet_quantize,
 )
 
 
@@ -115,6 +118,72 @@ class TestResNetParity:
         # relative agreement on the feature map scale
         denom = np.abs(f32).mean() + 1e-6
         assert np.abs(bf16 - f32).mean() / denom < 0.1
+
+
+class TestInt8Encoder:
+    # int8 conv compiles slowly on the CPU backend, so everything shares
+    # one quantization + one forward at 64x64
+    @pytest.fixture(scope="class")
+    def int8_run(self, torch_resnet):
+        from captionax.models.encoder import resnet_calibrate
+
+        params = from_torch_state_dict(torch_resnet.state_dict(), depth=50)
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(1, 64, 64, 3), jnp.float32
+        )
+        # calibrated static activation scales: the serving config
+        scales = resnet_calibrate(params, x, compute_dtype=jnp.float32)
+        qparams = resnet_quantize(params, act_scales=scales)
+        f32 = np.asarray(resnet_apply(params, x, compute_dtype=jnp.float32))
+        q = np.asarray(
+            resnet_apply_int8(qparams, x, compute_dtype=jnp.float32)
+        )
+        return qparams, f32, q
+
+    def test_features_close_to_f32(self, int8_run):
+        _, f32, q = int8_run
+        assert q.shape == f32.shape == (1, 2, 2, 2048)
+        denom = np.abs(f32).mean() + 1e-6
+        assert np.abs(q - f32).mean() / denom < 0.1
+        cos = float(
+            (q.ravel() @ f32.ravel())
+            / (np.linalg.norm(q) * np.linalg.norm(f32) + 1e-12)
+        )
+        assert cos > 0.99
+
+    def test_dynamic_scales_close_to_f32(self, torch_resnet, int8_run):
+        """Without calibration the apply path falls back to dynamic
+        per-tensor scales — numerically fine, just slower on TPU."""
+        params = from_torch_state_dict(torch_resnet.state_dict(), depth=50)
+        _, f32, _ = int8_run
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(1, 64, 64, 3), jnp.float32
+        )
+        q = np.asarray(
+            resnet_apply_int8(
+                resnet_quantize(params), x, compute_dtype=jnp.float32
+            )
+        )
+        denom = np.abs(f32).mean() + 1e-6
+        assert np.abs(q - f32).mean() / denom < 0.1
+
+    def test_quantized_kernels_are_int8(self, int8_run):
+        qparams, _, _ = int8_run
+        block = qparams["stages"][0][0]
+        assert block["conv2"]["q"].dtype == jnp.int8
+        assert block["conv2"]["wscale"].shape == (64,)
+        # stem stays unquantized (bf16 path)
+        assert "kernel" in qparams["stem"]
+
+    def test_token_layout(self, int8_run):
+        import jax
+
+        qparams, _, _ = int8_run
+        # eval_shape: trace-only (a second int8 compile costs ~1 min on CPU)
+        toks = jax.eval_shape(
+            encoder_cnn_int8, qparams, jnp.zeros((2, 64, 64, 3))
+        )
+        assert toks.shape == (2, 4, 2048)
 
 
 class TestAdaptivePool:

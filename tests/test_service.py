@@ -194,6 +194,41 @@ class TestServiceLibrary:
         assert set(out) == {"caption", "style"}
         assert isinstance(out["caption"], str)
 
+    @pytest.mark.skipif(
+        os.environ.get("CAPTIONAX_SLOW_TESTS", "") != "1",
+        reason="int8 conv compiles slowly on CPU; set CAPTIONAX_SLOW_TESTS=1",
+    )
+    def test_int8_encoder_service_round_trip(self):
+        """int8_encoder=True quantizes the frozen encoder at build; the
+        request->caption round trip must still work and the caption stays
+        a valid decode (token agreement with bf16 is measured on-chip by
+        benchmarks/bulk_caption.py --int8)."""
+        import jax
+
+        from captionax.core.vocab import build_vocab
+        from captionax.decode.service import CaptionService
+        from captionax.models import decoder as dec
+        from captionax.models.encoder import resnet_init
+        from captionax.models.hypernet import hypernet_init
+
+        vocab = build_vocab(["a dog runs fast", "a cat sits still"], [])
+        k = jax.random.split(jax.random.PRNGKey(0), 3)
+        E = H = F = 16
+        params = {
+            "decoder": dec.attention_gru_init(k[0], 2048, F, E, H,
+                                              len(vocab)),
+            "hn": hypernet_init(k[1], hyper_emb=E, input_dim=E + F,
+                                hidden_dim=H),
+        }
+        enc = resnet_init(k[2], depth=50)
+        with CaptionService(params, enc, vocab, styles=["factual"],
+                            batch_size=2, max_steps=5, use_fused=False,
+                            decode="greedy", int8_encoder=True) as svc:
+            out = svc.caption_array(np.zeros((224, 224, 3), np.uint8),
+                                    "factual")
+        assert set(out) == {"caption", "style"}
+        assert isinstance(out["caption"], str)
+
     def test_mesh_sharded_service_matches_single_device(self):
         """mesh= shards each dispatch over the data axis (8 virtual CPU
         devices here); captions must match the unsharded service."""
