@@ -89,6 +89,7 @@ def labert_forward(
     attention_mask: jnp.ndarray,  # [B, T] 1=real, 0=pad
     image_times_3: bool = True,
     num_heads=None,
+    encoder_fn=None,
 ) -> jnp.ndarray:
     """-> logits [B, R + T, V] (text logits start at index R)."""
     B, R, _ = image_features.shape
@@ -106,7 +107,12 @@ def labert_forward(
         [jnp.ones((B, R)), attention_mask.astype(jnp.float32)], axis=1
     )
     additive = (1.0 - full_mask)[:, None, None, :] * -10000.0
-    x = bert_encoder(params["encoder"], x, num_heads or _num_heads(params), additive)
+    # encoder_fn hook: drop-in replacements for the 12-layer stack, e.g.
+    # the pipeline-parallel schedule (parallel/pipeline.py
+    # pipelined_bert_encoder) — must keep bert_encoder semantics exactly
+    x = (encoder_fn or bert_encoder)(
+        params["encoder"], x, num_heads or _num_heads(params), additive
+    )
 
     h = jax.nn.gelu(linear(params["head"]["dense"], x))
     h = layer_norm(params["head"]["ln"], h)

@@ -4,5 +4,16 @@ from captionax.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from captionax.parallel.pipeline import (
+    make_pipeline,
+    pipeline_mesh,
+    pipelined_bert_encoder,
+    stack_layers,
+    unstack_layers,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh", "batch_sharding", "replicated", "shard_batch",
+    "make_pipeline", "pipeline_mesh", "pipelined_bert_encoder",
+    "stack_layers", "unstack_layers",
+]
