@@ -65,8 +65,10 @@ def build_service(args):
     )
 
 
-def main(argv=None):
-    parser = make_parser(__doc__)
+def make_serve_parser(doc=None):
+    """The full serve flag surface — single source of truth (tests build
+    their service args from this too, so new flags can't drift)."""
+    parser = make_parser(doc or __doc__)
     parser.add_argument("--kind", type=str, default="hypernet",
                         choices=["gru", "hypernet"])
     parser.add_argument("--styles", type=str, default="factual")
@@ -75,8 +77,10 @@ def main(argv=None):
                         choices=["beam", "greedy"])
     parser.add_argument("--no-fused", action="store_true")
     parser.add_argument("--int8-encoder", action="store_true",
-                        help="serve with the quantized int8 encoder "
-                             "(2.4x encoder speedup on v5e; see "
+                        help="serve with the calibrated int8 encoder: 4x "
+                             "smaller encoder params, +6.5%% bulk "
+                             "throughput, captions identical to bf16 on "
+                             "the measured eval batch (BASELINE.md; "
                              "models/encoder.py resnet_quantize)")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
@@ -85,7 +89,11 @@ def main(argv=None):
                              "window; requests/dispatch ceiling)")
     # --mesh-data comes from make_parser; here it shards each inference
     # dispatch over the data axis (service.py mesh note)
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    args = make_serve_parser().parse_args(argv)
 
     from captionax.decode.service import make_http_server
 

@@ -51,6 +51,14 @@ def main(argv=None):
     parser.add_argument("--bert-layers", type=int, default=12)
     parser.add_argument("--bert-heads", type=int, default=12)
     parser.add_argument("--encoder-weights", type=str, default="")
+    parser.add_argument(
+        "--pipe", type=int, default=1,
+        help="pipeline-parallel stages for the BERT stack (train step "
+             "only; needs --pipe devices and --bert-layers %% pipe == 0)")
+    parser.add_argument(
+        "--pipe-micro", type=int, default=0,
+        help="microbatches per step (default 2*pipe; batch size must "
+             "divide by it)")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -75,17 +83,46 @@ def main(argv=None):
 
     encode = jax.jit(lambda imgs: encoder_cnn(encoder_params, preprocess_images(imgs)))
 
+    # --pipe N: run the BERT stack as an N-stage GPipe schedule
+    # (parallel/pipeline.py) in the TRAIN step — the loss is identical to
+    # the sequential stack (test-enforced), so logs/checkpoints are
+    # interchangeable.  Validation keeps the sequential path: its last
+    # batch is ragged (drop_remainder=False) and the fixed-shape schedule
+    # wants B %% n_micro == 0.
+    enc = None
+    if args.pipe > 1:
+        from captionax.parallel.pipeline import (
+            pipeline_mesh, pipelined_bert_encoder,
+        )
+
+        n_micro = args.pipe_micro or 2 * args.pipe
+        if args.bert_layers % args.pipe:
+            parser.error(f"--bert-layers {args.bert_layers} must divide "
+                         f"by --pipe {args.pipe}")
+        if train_cfg.batch_size % n_micro:
+            parser.error(f"--batch-size {train_cfg.batch_size} must divide "
+                         f"by --pipe-micro {n_micro}")
+        if len(jax.devices()) < args.pipe:
+            parser.error(f"--pipe {args.pipe} needs {args.pipe} devices, "
+                         f"have {len(jax.devices())}")
+        enc = pipelined_bert_encoder(
+            pipeline_mesh(n_pipe=args.pipe), n_micro=n_micro,
+            num_heads=args.bert_heads,
+        )
+
     @jax.jit
     def train_step(state, feats, caps, types, rng):
         def loss_fn(p):
-            return labert_loss(p, feats, caps, types, rng, mask_id)
+            return labert_loss(p, feats, caps, types, rng, mask_id,
+                               num_heads=args.bert_heads, encoder_fn=enc)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads, tx), loss
 
     @jax.jit
     def val_step(params, feats, caps, types, rng):
-        return labert_loss(params, feats, caps, types, rng, mask_id)
+        return labert_loss(params, feats, caps, types, rng, mask_id,
+                           num_heads=args.bert_heads)
 
     train_idx, val_idx, _ = data.splits(seed=train_cfg.seed)
     step = 0

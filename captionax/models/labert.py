@@ -147,12 +147,20 @@ def mask_tokens(
 def labert_loss(
     params, image_features, token_ids, token_type_ids, rng,
     mask_id: int, pad_id: int = 0, smoothing: float = 0.1,
+    num_heads=None, encoder_fn=None,
 ) -> jnp.ndarray:
-    """Masked-position label-smoothed CE (train_baseline_labert.py:75-99)."""
+    """Masked-position label-smoothed CE (train_baseline_labert.py:75-99).
+
+    ``encoder_fn``: optional bert_encoder replacement (e.g. the
+    pipeline-parallel schedule, parallel/pipeline.py) — semantics
+    identical, so the loss is unchanged."""
     masked_ids, mask_pos = mask_tokens(rng, token_ids, mask_id, pad_id)
     attn = (token_ids != pad_id).astype(jnp.float32)
     R = image_features.shape[1]
-    logits = labert_forward(params, image_features, masked_ids, token_type_ids, attn)
+    logits = labert_forward(
+        params, image_features, masked_ids, token_type_ids, attn,
+        num_heads=num_heads, encoder_fn=encoder_fn,
+    )
     text_logits = logits[:, R:]
     # loss over masked positions only: weight by the mask
     V = text_logits.shape[-1]

@@ -237,6 +237,15 @@ class TestLongTailClis:
 
         main(args(tmp_path, "--synthetic-images", "16"))
 
+    def test_train_labert_pipe(self, tmp_path):
+        # --pipe: BERT stack as a 4-stage GPipe schedule on the virtual
+        # 8-device mesh (train step only; val stays sequential)
+        from captionax.cli.train_labert import main
+
+        main(args(tmp_path, "--synthetic-images", "16", "--hidden", "32",
+                  "--bert-layers", "4", "--bert-heads", "4",
+                  "--pipe", "4", "--pipe-micro", "2"))
+
     def test_train_catr(self, tmp_path):
         from captionax.cli.train_catr import main
 

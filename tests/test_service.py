@@ -31,18 +31,13 @@ def served(tmp_path_factory):
     from captionax.decode.service import serve_background
 
     ckpt = tmp_path_factory.mktemp("serve_ckpt")
-    import argparse
+    from captionax.cli.serve import make_serve_parser
 
-    from captionax.cli.common import make_parser
-
-    parser = make_parser("test")
-    parser.add_argument("--kind", default="hypernet")
-    parser.add_argument("--styles", default="factual")
-    parser.add_argument("--encoder-weights", default="")
-    parser.add_argument("--decode", default="beam")
-    parser.add_argument("--no-fused", action="store_true")
-    parser.add_argument("--window", type=int, default=4)
-    args = parser.parse_args(ARGS + ["--checkpoint-dir", str(ckpt)])
+    # the real flag surface (new serve flags can't drift out of sync)
+    parser = make_serve_parser("test")
+    args = parser.parse_args(
+        ARGS + ["--checkpoint-dir", str(ckpt), "--window", "4"]
+    )
     service = build_service(args)
     srv, port = serve_background(service)
     yield service, port
