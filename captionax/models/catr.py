@@ -66,19 +66,16 @@ def _num_heads(params) -> int:
     return max(params["word_emb"].shape[1] // 32, 1)
 
 
-def catr_forward(
+def catr_encode(
     params: Dict,
     image_features: jnp.ndarray,  # [B, R, 2048], R = h*w
-    captions: jnp.ndarray,        # [B, T] int ids
     grid_hw=(7, 7),
     pre_norm: bool = True,
 ) -> jnp.ndarray:
-    """-> logits [B, T, V], teacher-forced (causal self-attention)."""
-    B, R, _ = image_features.shape
-    T = captions.shape[1]
+    """Image half only -> memory [B, R, H].  Loop-invariant during
+    autoregressive decode, so :func:`catr_greedy` runs it once."""
     heads = _num_heads(params)
     hidden = params["word_emb"].shape[1]
-
     src = linear(params["input_proj"], image_features)  # [B, R, H]
     pos = sine_position_2d(grid_hw[0], grid_hw[1], hidden)[None]
     x = src
@@ -86,7 +83,21 @@ def catr_forward(
         x = detr_encoder_layer(layer, x, pos, heads, pre_norm)
     if pre_norm:
         x = layer_norm(params["enc_ln"], x)
-    memory = x
+    return x
+
+
+def catr_decode_logits(
+    params: Dict,
+    memory: jnp.ndarray,          # [B, R, H] from catr_encode
+    captions: jnp.ndarray,        # [B, T] int ids
+    grid_hw=(7, 7),
+    pre_norm: bool = True,
+) -> jnp.ndarray:
+    """Text half -> logits [B, T, V] given precomputed encoder memory."""
+    T = captions.shape[1]
+    heads = _num_heads(params)
+    hidden = params["word_emb"].shape[1]
+    pos = sine_position_2d(grid_hw[0], grid_hw[1], hidden)[None]
 
     tgt = embedding(params["word_emb"], captions)
     tgt_pos = params["tgt_pos_emb"][:T][None]
@@ -104,18 +115,33 @@ def catr_forward(
     return linear(params["mlp"]["l2"], h)
 
 
+def catr_forward(
+    params: Dict,
+    image_features: jnp.ndarray,  # [B, R, 2048], R = h*w
+    captions: jnp.ndarray,        # [B, T] int ids
+    grid_hw=(7, 7),
+    pre_norm: bool = True,
+) -> jnp.ndarray:
+    """-> logits [B, T, V], teacher-forced (causal self-attention)."""
+    memory = catr_encode(params, image_features, grid_hw, pre_norm)
+    return catr_decode_logits(params, memory, captions, grid_hw, pre_norm)
+
+
 def catr_greedy(
     params, image_features, max_len: int = 25, bos_id: int = 1, eos_id: int = 2,
     grid_hw=(7, 7),
 ) -> jnp.ndarray:
     """Greedy autoregressive decode with a fixed-shape token buffer (the
-    full prefix re-runs each step — caption lengths are tiny, so this is
-    cheaper on TPU than maintaining a KV cache for T<=25)."""
+    full DECODER prefix re-runs each step — caption lengths are tiny, so
+    this is cheaper on TPU than maintaining a KV cache for T<=25).  The
+    6-layer encoder memory is loop-invariant and computed once up front
+    rather than relying on XLA's while-loop LICM to hoist it."""
     B = image_features.shape[0]
     ids = jnp.full((B, max_len), 0, jnp.int32).at[:, 0].set(bos_id)
+    memory = catr_encode(params, image_features, grid_hw)
 
     def body(t, ids):
-        logits = catr_forward(params, image_features, ids, grid_hw)
+        logits = catr_decode_logits(params, memory, ids, grid_hw)
         nxt = logits[:, t].argmax(-1).astype(jnp.int32)
         return ids.at[:, t + 1].set(nxt)
 
