@@ -282,3 +282,17 @@ class TestLongTailClis:
         from captionax.cli.test_all import main
 
         main(args(tmp_path, "--cc-captions", str(_cc_file(tmp_path))))
+
+
+def test_scale_check(capsys):
+    """gru kind at tiny dims over the conftest 8-device CPU mesh; the
+    hypernet/pipe kinds run in the driver dryrun and docs examples."""
+    from captionax.cli.scale_check import main
+
+    main(["--kind", "gru", "--mesh-data", "4", "--mesh-model", "2",
+          "--vocab-size", "64", "--num-features", "16",
+          "--feature-size", "8", "--embed-size", "8",
+          "--hidden-size", "8"])
+    out = capsys.readouterr().out
+    assert "scale_check OK" in out
+    assert "data4 x model2" in out
