@@ -85,10 +85,18 @@ def main(batch=256, iters=5, int8=False):
               f"(marginal {1e3*(t-prev):7.1f} ms)")
         prev = t
 
-    # bf16 FLOP roofline: resnet-152 fwd ~= 11.6 GFLOP/img
-    flops = 11.6e9 * batch
-    print(f"  roofline: {flops/1e12:.1f} TFLOP; at 197 TFLOP/s peak -> "
-          f"{flops/197e12*1e3:.1f} ms ideal; MXU util ~ "
+    # bf16 FLOP roofline from XLA's own cost analysis (the old hand
+    # constant 11.6 GFLOP/img was torchvision's MAC count — half the
+    # true FLOPs)
+    try:
+        cost = full.lower(params, images).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost["flops"])
+    except Exception:
+        flops = 23.2e9 * batch
+    print(f"  roofline: {flops/1e12:.1f} TFLOP (XLA cost analysis); at "
+          f"197 TFLOP/s peak -> {flops/197e12*1e3:.1f} ms ideal; MXU util ~ "
           f"{flops/197e12/t_full*100:.0f}%")
 
 
