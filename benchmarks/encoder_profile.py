@@ -4,6 +4,15 @@ Times the stem and each residual stage cumulatively (difference = stage
 cost) with the device->host barrier from captionax.core.runtime
 (block_until_ready is not a completion barrier under the axon relay).
 
+CAVEAT (2026-08-18): the cumulative-difference attribution is
+approximate — each truncation is its own jit, so XLA picks different
+layouts/fusions per truncation point and the marginals can shift cost
+between adjacent stages (the stem marginal reads ~45 ms at B=1024 here
+but measures 8.1 ms when timed floor-free in isolation with
+`core.runtime.device_time`).  Trust this file for the coarse shape
+(stage3 dominates at MXU peak); use device_time k-rep differencing for
+per-stage truth.
+
 Usage:  python benchmarks/encoder_profile.py [batch] [iters]
 """
 import os
