@@ -19,7 +19,11 @@ limit; the GRU step it generates weights FOR is what scales.
     python benchmarks/scaling_dims.py --labert         # + labert rows
     python benchmarks/scaling_dims.py --dims 200,512 --batch 512
 
-One JSON line per config.  v5e bf16 MXU peak ≈ 197 TFLOP/s (f32 ≈ 1/4).
+One JSON line per config.  v5e bf16 MXU peak ≈ 197 TFLOP/s (validated
+at 98% by a 4096³ matmul chain — BASELINE.md).  Step times are
+FLOOR-FREE on-device costs (k-steps-inside-one-jit differencing; a
+single dispatch through the axon relay carries a ~23-34 ms floor that
+would dominate these).
 """
 
 import json
@@ -46,15 +50,33 @@ from captionax.train.steps import make_gru_steps, make_hypernet_steps
 PEAK_BF16 = 197e12
 
 
-def timeit(fn, barrier, iters=6):
-    barrier(fn())
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        barrier(fn())
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+def steptime(step, state, batch, k=5, iters=4):
+    """Floor-free per-step device seconds: chain k steps inside one jit
+    (state threads through, so XLA cannot elide reps) and difference
+    against the 1-step program — the ~23-34 ms relay dispatch floor
+    cancels (see core.runtime.device_time)."""
+    def rep(n):
+        @jax.jit
+        def run(s, b):
+            loss = None
+            for _ in range(n):
+                s, m = step(s, b)
+                loss = m["train_loss"]
+            return loss
+        return run
+
+    def wall(jfn):
+        float(jfn(state, batch))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(jfn(state, batch))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = wall(rep(1))
+    tk = wall(rep(k))
+    return max(1e-9, (tk - t1) / (k - 1))
 
 
 def compiled_flops(jitted, *args):
@@ -88,15 +110,8 @@ def bench_step(d, vocab, batch, T, bf16, hypernet=False):
         params = decoder
         step, _ = make_gru_steps(tx, bf16=bf16)
     state = create_train_state(params, tx)
-    jstep = jax.jit(step, donate_argnums=())
-    flops = compiled_flops(jstep, state, batch_d)
-
-    def one():
-        nonlocal state
-        state, m = jstep(state, batch_d)
-        return m["train_loss"]
-
-    t = timeit(one, lambda x: float(x))
+    flops = compiled_flops(jax.jit(step, donate_argnums=()), state, batch_d)
+    t = steptime(step, state, batch_d)
     return t, flops
 
 
@@ -118,14 +133,22 @@ def bench_labert(hidden, layers, heads, vocab, batch, T, R=49):
         return labert.labert_loss(p, feats, ids, types, rng,
                                   mask_id=vocab - 1, num_heads=heads)
 
-    vg = jax.jit(jax.value_and_grad(loss))
-    flops = compiled_flops(vg, params)
+    vg = jax.value_and_grad(loss)
+    flops = compiled_flops(jax.jit(vg), params)
 
-    def one():
-        lp, _ = vg(params)
-        return lp
+    # params travel as the step STATE (closed-over 440 MB at h768 would
+    # 413 the relay), with the loss threaded back in at 1e-30 so chained
+    # reps cannot be CSE'd away
+    def step(p, batch):
+        lp, _ = jax.value_and_grad(
+            lambda q: labert.labert_loss(q, batch, ids, types, rng,
+                                         mask_id=vocab - 1,
+                                         num_heads=heads))(p)
+        p2 = jax.tree_util.tree_map(
+            lambda a: a + lp.astype(a.dtype) * 1e-30, p)
+        return p2, {"train_loss": lp}
 
-    t = timeit(one, lambda x: float(x))
+    t = steptime(step, params, feats)
     return t, flops
 
 

