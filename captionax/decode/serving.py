@@ -26,30 +26,38 @@ import numpy as np
 
 
 class PipelinedDecoder:
-    """Wrap a jitted decode fn with one-deep dispatch pipelining.
+    """Wrap a jitted decode fn with depth-N dispatch pipelining.
 
     ``decode_fn(features) -> result pytree``; results are fetched to host
-    (numpy) in submission order.
+    (numpy) in submission order.  ``depth`` is how many dispatches stay
+    in flight before the oldest is fetched.  Measured at B=1024 on the
+    relay: depth 1/2/3 all sustain ~40.2 ms/batch vs the kernel's
+    36.1 ms device time — the residual gap is serial per-dispatch host
+    cost, NOT jitter, so deeper pipelining buys nothing here; depth
+    stays a knob for hosts where fetch latency varies.
     """
 
-    def __init__(self, decode_fn: Callable):
+    def __init__(self, decode_fn: Callable, depth: int = 1):
         self.decode_fn = decode_fn
+        self.depth = max(1, depth)
 
     def map(self, feature_batches: Iterable) -> Iterator:
         """Stream items are either ``features`` arrays or — for
         mixed-style servers — ``(features, style_rows)`` tuples, splatted
         into ``decode_fn``."""
-        pending = None
+        from collections import deque
+
+        pending = deque()
         for feats in feature_batches:
             if isinstance(feats, tuple):
                 result = self.decode_fn(*feats)  # async dispatch
             else:
                 result = self.decode_fn(feats)
-            if pending is not None:
-                yield jax.tree_util.tree_map(np.asarray, pending)
-            pending = result
-        if pending is not None:
-            yield jax.tree_util.tree_map(np.asarray, pending)
+            pending.append(result)
+            if len(pending) > self.depth:
+                yield jax.tree_util.tree_map(np.asarray, pending.popleft())
+        while pending:
+            yield jax.tree_util.tree_map(np.asarray, pending.popleft())
 
 
 class MicroBatcher:
