@@ -1,4 +1,5 @@
-"""Import trained reference checkpoints (PyTorch Lightning ``.ckpt``).
+"""Import/export trained checkpoints across the reference's PyTorch
+Lightning layout (``.ckpt``).
 
 The migration path for users of the reference repo: bring a checkpoint
 trained by ``train_attention_gru.py`` (``CaptionAttentionGru``,
@@ -23,6 +24,15 @@ Not covered (no trained artifacts can exist for them in practice, and
 the layouts are exercised elsewhere): the non-attention ``hypernet.py``
 path over ``DecoderGRU``/``DecoderRNN`` and the LSTM trainers — open an
 issue with a real checkpoint if you need one imported.
+
+The EXPORT direction (:func:`export_lightning_state_dict`,
+``cli/export_checkpoint``) is the exact inverse: captionax-trained
+params become a reference-layout state_dict that the reference's
+modules ``load_state_dict(strict=True)`` and that round-trips through
+:func:`import_lightning_state_dict` bit-exactly.  The folded-BN
+encoder exports as conv kernels plus identity BatchNorm statistics
+(mean=0, var=1-eps, weight=scale, bias=bias), which is
+function-identical to the folded form.
 """
 
 from __future__ import annotations
@@ -247,3 +257,146 @@ def load_lightning_checkpoint(path: str) -> Dict[str, Any]:
         "encoder_state_dict": encoder_sd,
         "hparams": dict(hparams),
     }
+
+# ---------------------------------------------------------------------------
+# Export: captionax params -> reference-layout state_dict
+# ---------------------------------------------------------------------------
+
+def _lin_sd(sd: Dict, name: str, p: Params) -> None:
+    """Inverse of :func:`_lin`: {'w' [in,out], 'b'} -> torch Linear keys."""
+    sd[name + ".weight"] = np.asarray(p["w"], np.float32).T.copy()
+    sd[name + ".bias"] = np.asarray(p["b"], np.float32).copy()
+
+
+def _seq_mlp_sd(sd: Dict, name: str, p: Params, indices=(0, 2)) -> None:
+    for i, idx in enumerate(indices):
+        _lin_sd(sd, f"{name}.{idx}", p[f"l{i}"])
+
+
+def _gru_sd(sd: Dict, name: str, p: Params) -> None:
+    for ours, theirs in (("w_ih", "weight_ih"), ("w_hh", "weight_hh"),
+                         ("b_ih", "bias_ih"), ("b_hh", "bias_hh")):
+        sd[f"{name}.{theirs}"] = np.asarray(p[ours], np.float32).copy()
+
+
+def attention_gru_to_state_dict(
+    params: Params, prefix: str = "captioner."
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`attention_gru_from_state_dict` — keys load into
+    the reference ``AttentionGru`` with ``strict=True``."""
+    sd: Dict[str, np.ndarray] = {}
+    p = prefix
+    _seq_mlp_sd(sd, p + "feature_fc", params["feature_fc"])
+    sd[p + "embed.weight"] = np.asarray(params["embed"], np.float32).copy()
+    _gru_sd(sd, p + "gru", params["gru"])
+    _lin_sd(sd, p + "fc", params["fc"])
+    for name in ("W_a", "U_a", "v_a"):
+        _lin_sd(sd, p + "attention." + name, params["attention"][name])
+    _lin_sd(sd, p + "init_h", params["init_h"])
+    for i, layer in enumerate(params.get("layers", [])):
+        _gru_sd(sd, f"{p}layers.{i}", layer)
+    return sd
+
+
+def hypernet_to_state_dict(
+    params: Params, prefix: str = ""
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`hypernet_from_state_dict` (hn_base + hn_heads
+    in the reference's gru.named_parameters() head order)."""
+    sd: Dict[str, np.ndarray] = {}
+    _seq_mlp_sd(sd, prefix + "hn_base", params["base"])
+    for i, name in enumerate(_GRU_TENSORS):
+        _seq_mlp_sd(sd, f"{prefix}hn_heads.{i}", params["heads"][name])
+    return sd
+
+
+def domain_embedder_to_state_dict(
+    emb: Params, prefix: str = "embed"
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`domain_embedder_from_state_dict` (scheme from
+    the pytree shape, mirroring the key-based detection)."""
+    sd: Dict[str, np.ndarray] = {}
+    if not emb:
+        return sd
+    if "table" in emb:
+        sd[prefix + ".weight"] = np.asarray(emb["table"], np.float32).copy()
+    elif "l1" in emb:
+        _seq_mlp_sd(sd, prefix, emb)
+    else:
+        _seq_mlp_sd(sd, prefix, emb, indices=(0,))
+    return sd
+
+
+def encoder_state_dict_from_params(
+    enc_params: Dict, eps: float = 1e-5
+) -> Dict[str, np.ndarray]:
+    """Folded-BN encoder params -> torchvision-named state_dict.
+
+    BatchNorms are emitted with identity statistics (running_mean=0,
+    running_var=1-eps, weight=scale, bias=bias) so torchvision's
+    ``y = (conv - mean)/sqrt(var + eps) * weight + bias`` reproduces the
+    folded ``conv*scale + bias`` EXACTLY; re-importing through
+    :func:`captionax.models.encoder.from_torch_state_dict` round-trips
+    bit-identically.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv_bn(conv_name: str, bn_name: str, p: Dict) -> None:
+        # HWIO -> torch OIHW
+        sd[conv_name + ".weight"] = np.transpose(
+            np.asarray(p["kernel"], np.float32), (3, 2, 0, 1)).copy()
+        n = p["scale"].shape[0]
+        sd[bn_name + ".weight"] = np.asarray(p["scale"], np.float32).copy()
+        sd[bn_name + ".bias"] = np.asarray(p["bias"], np.float32).copy()
+        sd[bn_name + ".running_mean"] = np.zeros((n,), np.float32)
+        sd[bn_name + ".running_var"] = np.full((n,), 1.0 - eps, np.float32)
+
+    conv_bn("conv1", "bn1", enc_params["stem"])
+    for s, blocks in enumerate(enc_params["stages"]):
+        for b, block in enumerate(blocks):
+            base = f"layer{s + 1}.{b}"
+            for c in (1, 2, 3):
+                conv_bn(f"{base}.conv{c}", f"{base}.bn{c}",
+                        block[f"conv{c}"])
+            if "downsample" in block:
+                conv_bn(f"{base}.downsample.0", f"{base}.downsample.1",
+                        block["downsample"])
+    return sd
+
+
+_RESNET_NAME_TO_SEQ = {v: k for k, v in _RESNET_SEQ_NAMES.items()}
+
+
+def export_lightning_state_dict(
+    kind: str,
+    params: Params,
+    encoder_params: Optional[Dict] = None,
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_lightning_state_dict`: captionax params
+    (+ optionally the folded encoder) -> one reference-layout state_dict
+    that :func:`detect_kind` recognizes and the reference Lightning
+    modules load.  ``kind`` is 'gru' | 'hypernet' | 'hypernet_cc'.
+    """
+    if kind == "gru":
+        sd = attention_gru_to_state_dict(params)
+        enc_prefix = "image_encoder.resnet."
+    elif kind == "hypernet":
+        sd = attention_gru_to_state_dict(params["decoder"])
+        sd.update(hypernet_to_state_dict(params["hn"]))
+        enc_prefix = "image_encoder.resnet."
+    elif kind == "hypernet_cc":
+        sd = attention_gru_to_state_dict(params["decoder"],
+                                         "hypernet.captioner.")
+        sd.update(hypernet_to_state_dict(params["hn"], "hypernet."))
+        sd.update(domain_embedder_to_state_dict(
+            params.get("domain_emb", {})))
+        enc_prefix = "hypernet.image_encoder.resnet."
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    if encoder_params is not None:
+        for name, value in encoder_state_dict_from_params(
+                encoder_params).items():
+            mod, _, tail = name.partition(".")
+            seq = _RESNET_NAME_TO_SEQ[mod]  # conv1/bn1/layerN all mapped
+            sd[f"{enc_prefix}{seq}.{tail}"] = value
+    return sd

@@ -244,3 +244,104 @@ class TestImportCLI:
             restored, jnp.asarray(feats.numpy()), jnp.asarray(caps.numpy())
         )
         np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+
+def _trees_equal(a, b, path=""):
+    import jax
+
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_leaves_with_path(b)}
+    assert len(la) == len(lb)
+    for k, v in la:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(lb[jax.tree_util.keystr(k)]))
+
+
+class TestExport:
+    """export_lightning_state_dict is the exact inverse of import: the
+    reference modules strict-load the output and reimport is bit-exact."""
+
+    def test_gru_strict_load_and_bitexact_roundtrip(self):
+        m = RefAttentionGru(num_layers=2)
+        sd0 = {f"captioner.{k}": v for k, v in m.state_dict().items()}
+        params = convert.attention_gru_from_state_dict(sd0)
+        sd = convert.export_lightning_state_dict("gru", params)
+        m2 = RefAttentionGru(num_layers=2)
+        m2.load_state_dict(
+            {k[len("captioner."):]: torch.from_numpy(v)
+             for k, v in sd.items()}, strict=True)
+        kind, params2, enc = convert.import_lightning_state_dict(sd)
+        assert kind == "gru" and enc is None
+        _trees_equal(params, params2)
+        feats, caps = _batch()
+        with torch.no_grad():
+            ref = m(feats, caps).numpy()
+        with torch.no_grad():
+            re_exported = m2(feats, caps).numpy()
+        np.testing.assert_array_equal(ref, re_exported)
+
+    def test_hypernet_strict_load_and_roundtrip(self):
+        m = RefHyperNet()
+        kind0, params, _ = convert.import_lightning_state_dict(
+            m.state_dict())
+        assert kind0 == "hypernet"
+        sd = convert.export_lightning_state_dict("hypernet", params)
+        m2 = RefHyperNet()
+        m2.load_state_dict(
+            {k: torch.from_numpy(v) for k, v in sd.items()}, strict=True)
+        kind, params2, _ = convert.import_lightning_state_dict(sd)
+        assert kind == "hypernet"
+        _trees_equal(params, params2)
+        g = torch.Generator().manual_seed(5)
+        style = torch.randn(E, generator=g)
+        with torch.no_grad():
+            np.testing.assert_array_equal(m.theta_flat(style).numpy(),
+                                          m2.theta_flat(style).numpy())
+
+    def test_hypernet_cc_roundtrip_with_domain_table(self):
+        hn = RefHyperNet()
+        outer = nn.Module()
+        outer.hypernet = hn
+        outer.embed = nn.Embedding(7, E)
+        kind0, params, _ = convert.import_lightning_state_dict(
+            outer.state_dict())
+        assert kind0 == "hypernet_cc"
+        sd = convert.export_lightning_state_dict("hypernet_cc", params)
+        kind, params2, _ = convert.import_lightning_state_dict(sd)
+        assert kind == "hypernet_cc"
+        _trees_equal(params, params2)
+
+    def test_encoder_identity_bn_export_is_exact(self):
+        import jax
+
+        from captionax.models import encoder as enc_mod
+
+        enc_p = enc_mod.resnet_init(jax.random.PRNGKey(0), 50)
+        sd = convert.encoder_state_dict_from_params(enc_p)
+        # torchvision-layout keys with identity BN stats
+        assert sd["bn1.running_mean"].sum() == 0.0
+        back = enc_mod.from_torch_state_dict(sd, depth=50)
+        _trees_equal(enc_p, back)
+
+    def test_export_cli_reimport_roundtrip(self, tmp_path):
+        import jax
+
+        from captionax.cli.export_checkpoint import main as export_main
+        from captionax.cli.import_checkpoint import main as import_main
+        from captionax.train.checkpoint import (restore_checkpoint,
+                                                save_checkpoint)
+
+        m = RefHyperNet()
+        _, params, _ = convert.import_lightning_state_dict(m.state_dict())
+        ckpt_dir = tmp_path / "trained"
+        save_checkpoint(str(ckpt_dir), 0, params)
+        out_ckpt = tmp_path / "exported.ckpt"
+        export_main(["--checkpoint-dir", str(ckpt_dir), "--kind",
+                     "hypernet", "--out", str(out_ckpt),
+                     "--hparams", '{"lr": 0.002}'])
+        blob = torch.load(out_ckpt, map_location="cpu", weights_only=False)
+        assert blob["hyper_parameters"]["lr"] == 0.002
+        back_dir = tmp_path / "reimported"
+        import_main(["--ckpt", str(out_ckpt), "--out", str(back_dir)])
+        _trees_equal(params, restore_checkpoint(str(back_dir)))
