@@ -84,17 +84,21 @@ def main(batch: int = 1024, iters: int = 10):
     # secondary: realistic serving where captions actually terminate
     # (trained decoders emit </s> within ~10-25 steps; the kernel's
     # provably-output-identical early exit then stops the loop).  Same
-    # compiled program — only the fc bias value changes.  Timed without
-    # pipelining (per-call barrier), so it is a conservative number.
+    # compiled program — only the fc bias value changes.  Pipelined the
+    # same way as the headline number.
     params_eos = jax.tree_util.tree_map(lambda x: x, params)
     params_eos["decoder"]["fc"]["b"] = (
         params["decoder"]["fc"]["b"].at[2].add(1.2)
     )
     np.asarray(packed_beam(params_eos, features, style_id))  # warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        np.asarray(packed_beam(params_eos, features, style_id))
-    dt_eos = (time.perf_counter() - t0) / iters
+    dt_eos = float("inf")
+    for _ in range(3):
+        srv = PipelinedDecoder(
+            lambda f: packed_beam(params_eos, f, style_id))
+        t0 = time.perf_counter()
+        outs = list(srv.map(batches))
+        dt_eos = min(dt_eos, (time.perf_counter() - t0) / iters)
+        assert len(outs) == iters
     eos_caps_per_sec = batch / dt_eos
 
     print(json.dumps({
