@@ -375,19 +375,25 @@ class CaptionTrainer:
 
     def validate(self, batches: Iterable[Dict],
                  with_quality_metrics: bool = True) -> Dict:
-        sums: Dict[str, float] = {"val_loss_tf": 0.0, "val_loss": 0.0}
         n = 0
         quality = CaptionMetrics(self.vocab) if with_quality_metrics else None
+        # loss scalars stay on device until the loop ends so eval
+        # dispatches pipeline through the relay (same rationale as the
+        # training loop's deferred fetch)
+        losses = []
         for batch in self._loader(batches):
             db = self._featurize(batch)
             out = self._eval_step(self.params, db)
-            sums["val_loss_tf"] += float(out["val_loss_tf"])
-            sums["val_loss"] += float(out["val_loss"])
+            losses.append((out["val_loss_tf"], out["val_loss"]))
             if quality is not None:
                 quality.add_batch_logits(
                     np.asarray(db["captions"]), np.asarray(out["logits_tf"])
                 )
             n += 1
+        sums: Dict[str, float] = {
+            "val_loss_tf": sum(float(a) for a, _ in losses),
+            "val_loss": sum(float(b) for _, b in losses),
+        }
         out = {k: v / max(n, 1) for k, v in sums.items()}
         if quality is not None and n:
             out.update({f"val_{k}": v for k, v in quality.compute().items()})
