@@ -422,6 +422,24 @@ class CaptionTrainer:
 
         from captionax.models.hypernet import hypernet_apply
 
+        def process(res, out, caps):
+            nonlocal n_scored
+            found = np.asarray(res.found)
+            toks = np.asarray(res.tokens)
+            for i in range(len(found)):
+                if not found[i]:
+                    continue
+                scores = metric_score_test(caps[i : i + 1], toks[i], self.vocab)
+                for k, v in scores.items():
+                    agg[f"beam_{k}"] = agg.get(f"beam_{k}", 0.0) + v
+                n_scored += 1
+            beam_quality.add_batch_ids(caps, toks)
+            tf_quality.add_batch_logits(caps, np.asarray(out["logits_tf"]))
+
+        # one-deep pipelining: dispatch batch i+1 before fetching batch
+        # i's results, so the device decodes while the host computes
+        # metric scores (and the per-dispatch relay floor hides)
+        pending = None
         for batch in self._loader(batches):
             db = self._featurize(batch)
             if self.kind == "gru":
@@ -432,19 +450,12 @@ class CaptionTrainer:
                     self.params["hn"], self._embed_fn(self.params, db)
                 )
             res = beam_step(decoder, db["features"], theta)
-            found = np.asarray(res.found)
-            toks = np.asarray(res.tokens)
-            caps = np.asarray(db["captions"])
-            for i in range(len(found)):
-                if not found[i]:
-                    continue
-                scores = metric_score_test(caps[i : i + 1], toks[i], self.vocab)
-                for k, v in scores.items():
-                    agg[f"beam_{k}"] = agg.get(f"beam_{k}", 0.0) + v
-                n_scored += 1
-            beam_quality.add_batch_ids(caps, toks)
             out = self._eval_step(self.params, db)
-            tf_quality.add_batch_logits(caps, np.asarray(out["logits_tf"]))
+            if pending is not None:
+                process(*pending)
+            pending = (res, out, np.asarray(db["captions"]))
+        if pending is not None:
+            process(*pending)
         result = {k: v / max(n_scored, 1) for k, v in agg.items()}
         result.update({f"tf_{k}": v for k, v in tf_quality.compute().items()})
         result.update(
