@@ -376,6 +376,81 @@ def phase_dedicated_mixup_train(args):
     print(f"dedicated+mixup hypernet saved ({time.time() - t0:.0f}s)")
 
 
+def _phase_aux_train(args, dedicated: bool):
+    """Train the hypernet with the style-identification auxiliary loss
+    (steps.make_hypernet_styleaux_steps — a captionax extension with no
+    reference equivalent): free-run under the batch's own theta, the
+    frozen style probe must recognize the style.  Same data/seed as the
+    parity run; ``gen --tag aux`` / ``--tag dedicated_aux`` then measure
+    what it buys in separation vs the mixup A/B cells.  Trains with the
+    split-dispatch gradient off-CPU (the fused two-scan grad graph
+    wedges the relay compiler, CLAUDE.md)."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from captionax.core.runtime import setup_runtime
+
+        setup_runtime()
+
+    from captionax.cli.common import build_hypernet_model
+    from captionax.core.config import ModelConfig, TrainConfig
+    from captionax.train.harness import CaptionTrainer
+    from captionax.train.steps import (
+        dedicated_style_embed,
+        style_token_embed,
+    )
+    from parity_quality import eval_batches, inject
+
+    vocab, data = build_data(args.images)
+    data.dedicated_style_tokens = dedicated
+    feats = np.load(feature_path(args.images)).astype(np.float32)
+    model_cfg = ModelConfig(vocab_size=len(vocab),
+                            dedicated_style_tokens=dedicated)
+    tag = "dedicated_aux" if dedicated else "aux"
+    cfg = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
+        seed=args.seed, style_aux=True, style_aux_alpha=args.aux_alpha,
+        style_aux_split=not args.cpu,
+        checkpoint_dir=os.path.join(OUT_DIR, f"ckpt_{tag}"),
+    )
+    with open(CLF_PATH, "rb") as f:
+        clf = pickle.load(f)
+    params = build_hypernet_model(model_cfg, vocab,
+                                  jax.random.PRNGKey(args.seed),
+                                  hyper_emb=model_cfg.embed_size)
+    trainer = CaptionTrainer(
+        params, "hypernet", cfg, vocab, run_name=tag,
+        style_classifier_params=clf,
+        embed_fn=dedicated_style_embed if dedicated else style_token_embed,
+    )
+    train_idx, val_idx, _ = data.splits(seed=args.seed)
+    t0 = time.time()
+    trainer.fit(
+        lambda epoch: inject(
+            data.batches(train_idx, args.batch_size, style="random",
+                         seed=args.seed + epoch, with_images=False),
+            feats,
+        ),
+        lambda: eval_batches(data, val_idx, args.batch_size, "random",
+                             feats),
+    )
+    host = jax.tree_util.tree_map(np.asarray, trainer.params)
+    with open(os.path.join(OUT_DIR, f"trained_hypernet_{tag}.pkl"),
+              "wb") as f:
+        pickle.dump(host, f)
+    print(f"{tag}-trained hypernet saved ({time.time() - t0:.0f}s)")
+
+
+def phase_aux_train(args):
+    _phase_aux_train(args, dedicated=False)
+
+
+def phase_dedicated_aux_train(args):
+    _phase_aux_train(args, dedicated=True)
+
+
 def phase_report(args):
     for name in sorted(os.listdir(OUT_DIR)):
         if name.startswith("style_separation") or name == "style_clf.json":
@@ -387,13 +462,16 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--phase",
                    choices=["clf", "gen", "mixup-train", "dedicated-train",
-                            "dedicated-mixup-train", "report"],
+                            "dedicated-mixup-train", "aux-train",
+                            "dedicated-aux-train", "report"],
                    default="report")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (relay fallback)")
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--alpha", type=float, default=0.3)
+    p.add_argument("--aux-alpha", type=float, default=0.7,
+                   help="style-aux phases: loss = alpha*CE + (1-alpha)*aux")
     p.add_argument("--images", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--clf-epochs", type=int, default=5)
@@ -406,6 +484,8 @@ def main(argv=None):
     {"clf": phase_clf, "gen": phase_gen, "mixup-train": phase_mixup_train,
      "dedicated-train": phase_dedicated_train,
      "dedicated-mixup-train": phase_dedicated_mixup_train,
+     "aux-train": phase_aux_train,
+     "dedicated-aux-train": phase_dedicated_aux_train,
      "report": phase_report}[args.phase](args)
 
 

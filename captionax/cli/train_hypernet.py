@@ -32,7 +32,7 @@ def main(argv=None):
     parser.add_argument("--style-classifier", type=str, default="",
                         help="pickled small style classifier params "
                              "(cli/train_classifier --kind small --save); "
-                             "required with --mixup")
+                             "required with --mixup / --style-aux")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -49,10 +49,12 @@ def main(argv=None):
     encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
 
     clf_params = None
-    if train_cfg.mixup:
+    if train_cfg.mixup or train_cfg.style_aux:
         import pickle
 
-        assert args.style_classifier, "--mixup requires --style-classifier"
+        assert args.style_classifier, (
+            "--mixup/--style-aux require --style-classifier"
+        )
         with open(args.style_classifier, "rb") as f:
             clf_params = pickle.load(f)
 

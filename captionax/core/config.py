@@ -64,6 +64,15 @@ class TrainConfig:
     # axon relay, whose AOT compile helper wedges on the fused graph at
     # production dims (CLAUDE.md); single-device only
     mixup_split: bool = False
+    # style-identification auxiliary loss (captionax extension, no
+    # reference equivalent): free-run under the batch's own theta and
+    # CE the frozen style classifier's prediction against the true
+    # style — pushes styles APART where mixup's interpolated targets
+    # collapse them (measured A/B in BASELINE.md's separation table)
+    style_aux: bool = False
+    style_aux_alpha: float = 0.7  # loss = alpha*CE + (1-alpha)*aux
+    # same relay workaround as mixup_split, for the style-aux grad
+    style_aux_split: bool = False
     log_every: int = 20
     checkpoint_dir: str = "checkpoints"
     metrics_every_epochs: int = 1

@@ -116,6 +116,44 @@ class CaptionTrainer:
                 self.tx, embed_fn=embed_fn, bf16=config.bf16_compute,
                 unroll=config.scan_unroll,
             )
+            if config.mixup and config.style_aux:
+                raise ValueError(
+                    "mixup and style_aux are alternative auxiliary "
+                    "objectives; enable at most one"
+                )
+            if config.style_aux:
+                # style-identification aux loss (captionax extension —
+                # see steps.make_hypernet_styleaux_steps): free-run
+                # under the batch's own theta, frozen classifier must
+                # recognize the style
+                assert style_classifier_params is not None, (
+                    "config.style_aux needs style_classifier_params "
+                    "(train one: cli/train_classifier --kind small --save)"
+                )
+                from captionax.train.steps import (
+                    make_hypernet_styleaux_steps,
+                )
+
+                if config.style_aux_split and mesh is not None:
+                    raise ValueError(
+                        "style_aux_split is single-device (its inner "
+                        "jits bypass the mesh plumbing); drop one"
+                    )
+                aux_step = make_hypernet_styleaux_steps(
+                    self.tx, style_classifier_params,
+                    alpha=config.style_aux_alpha, embed_fn=embed_fn,
+                    style_ids=(0, 1, 2) if "style_embed" in params
+                    else (4, 3, 6),
+                    split=config.style_aux_split,
+                )
+                base_key = jax.random.PRNGKey(config.seed)
+
+                def train_step(state, batch, _aux=aux_step, _key=base_key):
+                    rng = jax.random.fold_in(_key, state.step)
+                    return _aux(state, batch, rng)
+
+                train_step._prejitted = getattr(aux_step, "_prejitted",
+                                                False)
             if config.mixup:
                 # mixup training (hypernet_attention.py:147-191): the
                 # style-mixed free-running caption is scored by a FROZEN

@@ -332,6 +332,101 @@ def make_hypernet_mixup_steps(
     return split_step
 
 
+def make_hypernet_styleaux_steps(
+    tx,
+    classifier_params,
+    pad_id: int = 0,
+    alpha: float = 0.7,
+    style_ids=(4, 3, 6),
+    embed_fn: Callable = style_token_embed,
+    split: bool = False,
+):
+    """Hypernet training with a style-identification auxiliary loss —
+    a captionax extension (no reference equivalent; the reference's only
+    style regularizer is the mixup loss, hypernet_attention.py:147-191,
+    which measurably COLLAPSES style separation — BASELINE.md).
+
+    The auxiliary term free-runs the decoder under the batch's OWN
+    synthesized theta and asks a frozen style classifier to recognize
+    the style:  aux = CE(classifier(soft free-run caption), style).
+    Unlike mixup (interpolated targets whose easy minimum is
+    style-insensitive theta), this term is minimized only when each
+    style's free-running output is linearly separable from the others,
+    so it pushes styles APART.  loss = alpha*CE + (1-alpha)*aux; the
+    default alpha=0.7 keeps CE dominant (mixup's reference alpha=0.3
+    put 70% of the gradient on the style term).
+
+    The gradient path reuses the differentiable soft-token classifier
+    built for mixup (classifiers.small_style_classifier_apply_soft).
+    ``style_ids`` maps class index 0/1/2 -> the style_id values seen in
+    batches (vocab rows (4, 3, 6) by default, incl. the reference's
+    'humour'-><unk>=3 quirk; (0, 1, 2) for dedicated-style-token
+    models); batch['style_id'] must be one of them.
+
+    ``split=True``: same contract as make_hypernet_mixup_steps — the
+    identical total gradient as two jitted dispatches (CE / aux; exact
+    by linearity) plus combine+apply, for the axon relay whose AOT
+    helper wedges on fused two-scan grad graphs at production dims.
+    The returned function is ``_prejitted``; don't wrap it in jax.jit."""
+    from captionax.models.classifiers import small_style_classifier_apply_soft
+
+    sid = jnp.asarray(style_ids, jnp.int32)
+
+    def aux_loss(params, batch, rng):
+        theta = hypernet_apply(params["hn"], embed_fn(params, batch))
+        logits_fr = _tf_logits(
+            params["decoder"], batch, sample_prob=1.0, rng=rng,
+            gru_params=theta,
+        )
+        probs = jax.nn.softmax(logits_fr, axis=-1)
+        pred = small_style_classifier_apply_soft(classifier_params, probs)
+        cls = jnp.argmax(sid == batch["style_id"])
+        return -jnp.mean(jnp.log(pred[:, cls] + 1e-9))
+
+    def ce_loss(params, batch):
+        theta = hypernet_apply(params["hn"], embed_fn(params, batch))
+        logits = _tf_logits(params["decoder"], batch, gru_params=theta)
+        return cross_entropy_loss(logits, batch["captions"], pad_id)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            ce = ce_loss(params, batch)
+            aux = aux_loss(params, batch, rng)
+            return alpha * ce + (1.0 - alpha) * aux, (ce, aux)
+
+        (loss, (ce, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, tx)
+        return state, {"train_loss": loss, "ce_loss": ce, "style_loss": aux}
+
+    if not split:
+        return train_step
+
+    ce_grad = jax.jit(jax.value_and_grad(ce_loss))
+    aux_grad = jax.jit(jax.value_and_grad(aux_loss))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def combine_apply(state, g_ce, g_aux):
+        grads = jax.tree_util.tree_map(
+            lambda a, b: alpha * a + (1.0 - alpha) * b, g_ce, g_aux
+        )
+        return state.apply_gradients(grads, tx)
+
+    def split_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        ce, g_ce = ce_grad(state.params, batch)
+        aux, g_aux = aux_grad(state.params, batch, rng)
+        state = combine_apply(state, g_ce, g_aux)
+        return state, {
+            "train_loss": alpha * ce + (1.0 - alpha) * aux,
+            "ce_loss": ce,
+            "style_loss": aux,
+        }
+
+    split_step._prejitted = True
+    return split_step
+
+
 def batch_shardings(mesh, example_batch):
     """Per-leaf shardings: leading axis over ``data`` for arrays,
     replicated for scalars (style_id)."""

@@ -136,6 +136,19 @@ class TestCoreClis:
                             "--style-classifier", str(clf)))
         assert all("train_loss_epoch" in h for h in hist.values())
 
+    def test_train_hypernet_style_aux(self, tmp_path):
+        """--style-aux (captionax extension): the frozen style probe
+        scores the free-run caption under the batch's own theta; split
+        variant covered by gradient-equality in test_hypernet_train.py."""
+        from captionax.cli.train_classifier import main as clf_main
+        from captionax.cli.train_hypernet import main as hn_main
+
+        clf = tmp_path / "clf.pkl"
+        clf_main(args(tmp_path, "--kind", "small", "--save", str(clf)))
+        hist = hn_main(args(tmp_path, "--style-aux", "--styled-fixture",
+                            "--style-classifier", str(clf)))
+        assert all("train_loss_epoch" in h for h in hist.values())
+
     def test_train_hypernet_dedicated_style_tokens(self, tmp_path):
         """--dedicated-style-tokens round-trip: train builds the 3-row
         style table, evaluate restores + beams with it."""

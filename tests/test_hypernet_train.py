@@ -208,6 +208,113 @@ class TestDedicatedStyleTokens:
                                        rtol=2e-4, atol=1e-6)
 
 
+class TestStyleAux:
+    """Style-identification auxiliary loss (captionax extension,
+    steps.make_hypernet_styleaux_steps): free-run under the batch's own
+    theta, a frozen classifier must recognize the style."""
+
+    @pytest.fixture()
+    def ded_model(self, model):
+        from captionax.models.layers import embedding_init
+
+        m = {k: jax.tree_util.tree_map(jnp.array, v) for k, v in model.items()}
+        m["style_embed"] = embedding_init(jax.random.PRNGKey(9), 3, E)
+        return m
+
+    def test_aux_loss_decreases(self, ded_model):
+        """Training against a FIXED random classifier drives the aux
+        term down: the hypernet learns to emit theta whose free-running
+        output the classifier maps to the style's class."""
+        from captionax.models.classifiers import small_style_classifier_init
+        from captionax.train.steps import (
+            dedicated_style_embed,
+            make_hypernet_styleaux_steps,
+        )
+
+        clf = small_style_classifier_init(jax.random.PRNGKey(12), V, E, 3)
+        tx = make_optimizer(1e-2)
+        state = create_train_state(ded_model, tx)
+        step = jax.jit(make_hypernet_styleaux_steps(
+            tx, clf, alpha=0.1, style_ids=(0, 1, 2),
+            embed_fn=dedicated_style_embed,
+        ))
+        batch = make_batch(jax.random.PRNGKey(13))
+        batch["style_id"] = jnp.asarray(2, jnp.int32)  # romantic
+        rng = jax.random.PRNGKey(0)
+        state, m0 = step(state, batch, rng)
+        for _ in range(60):
+            state, m = step(state, batch, rng)
+        assert np.isfinite(float(m["train_loss"]))
+        # the frozen random classifier bounds how low the CE can go; a
+        # steady >=10% drop shows the aux gradient reaches the hypernet
+        # (measured ~20% at this budget; the margin absorbs seed drift)
+        assert float(m["style_loss"]) < float(m0["style_loss"]) * 0.9
+
+    def test_styleaux_split_matches_fused_gradient(self, ded_model):
+        """split=True computes the same total gradient as two dispatches
+        (exact by linearity) — the relay workaround contract shared with
+        make_hypernet_mixup_steps."""
+        from captionax.models.classifiers import small_style_classifier_init
+        from captionax.train.steps import (
+            dedicated_style_embed,
+            make_hypernet_styleaux_steps,
+        )
+
+        clf = small_style_classifier_init(jax.random.PRNGKey(12), V, E, 3)
+        tx = make_optimizer(1e-3)
+        kw = dict(style_ids=(0, 1, 2), embed_fn=dedicated_style_embed)
+        fused = jax.jit(make_hypernet_styleaux_steps(tx, clf, **kw))
+        split = make_hypernet_styleaux_steps(tx, clf, split=True, **kw)
+        assert getattr(split, "_prejitted", False)
+
+        batch = make_batch(jax.random.PRNGKey(13))
+        batch["style_id"] = jnp.asarray(1, jnp.int32)
+        s_f = create_train_state(ded_model, tx)
+        s_s = create_train_state(ded_model, tx)
+        for i in range(3):
+            rng = jax.random.PRNGKey(i)
+            s_f, m_f = fused(s_f, batch, rng)
+            s_s, m_s = split(s_s, batch, rng)
+            np.testing.assert_allclose(float(m_f["ce_loss"]),
+                                       float(m_s["ce_loss"]), rtol=1e-5)
+            np.testing.assert_allclose(float(m_f["style_loss"]),
+                                       float(m_s["style_loss"]), rtol=1e-4)
+        flat_f = jax.tree_util.tree_leaves(s_f.params)
+        flat_s = jax.tree_util.tree_leaves(s_s.params)
+        # looser than the mixup twin: the fused graph CSEs the theta
+        # synthesis across the CE/aux branches (the split cannot), and
+        # Adam's rsqrt amplifies that reassociation-level drift
+        for a, b in zip(flat_f, flat_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_vocab_style_ids_class_mapping(self, model):
+        """With reference conditioning the class index comes from the
+        (4, 3, 6) vocab mapping — humour's <unk>=3 must map to class 1."""
+        from captionax.models.classifiers import small_style_classifier_init
+        from captionax.train.steps import make_hypernet_styleaux_steps
+
+        clf = small_style_classifier_init(jax.random.PRNGKey(12), V, E, 3)
+        tx = make_optimizer(1e-3)
+        state = create_train_state(model, tx)
+        step = jax.jit(make_hypernet_styleaux_steps(tx, clf))
+        batch = make_batch(jax.random.PRNGKey(14))
+        batch["style_id"] = jnp.asarray(3, jnp.int32)  # humour -> <unk>
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["train_loss"]))
+        assert np.isfinite(float(m["style_loss"]))
+
+    def test_harness_rejects_both_aux_objectives(self, ded_model, tmp_path):
+        from captionax.core.config import TrainConfig
+        from captionax.train.harness import CaptionTrainer
+
+        cfg = TrainConfig(mixup=True, style_aux=True,
+                          checkpoint_dir=str(tmp_path))
+        with pytest.raises(ValueError, match="at most one"):
+            CaptionTrainer(ded_model, "hypernet", cfg, vocab=None,
+                           style_classifier_params={})
+
+
 class TestTrainSteps:
     def test_gru_overfit_one_batch(self, model):
         tx = make_optimizer(1e-2)
