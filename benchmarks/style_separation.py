@@ -198,6 +198,30 @@ def phase_gen(args):
         diff = (caps_by_style[a] != caps_by_style[b]).any(axis=1)
         div[f"{a}-vs-{b}"] = float(diff.mean())
     out["caption_divergence"] = div
+
+    # per-style beam quality vs the styled-fixture refs (same corpus
+    # CIDEr convention as CaptionTrainer.test_beam's beam_corpus_*) —
+    # ties the separation cells to a did-quality-survive number
+    from captionax.eval.metrics import CaptionMetrics
+
+    import random as _r
+
+    rng = _r.Random(args.seed)
+    out["beam_quality"] = {}
+    for style in STYLES:
+        q = CaptionMetrics(vocab)
+        refs = np.zeros((len(test_idx), T), np.int32)
+        for j, i in enumerate(test_idx):
+            enc = data.caption_ids(style, i, rng=rng)[:T]
+            refs[j, : len(enc)] = enc
+        q.add_batch_ids(refs, caps_by_style[style])
+        scores = q.compute()
+        out["beam_quality"][style] = {
+            k: round(float(v), 4) for k, v in scores.items()
+            if k in ("bleu1", "cider")
+        }
+        print(f"{style}: beam corpus BLEU-1 {scores['bleu1']:.4f} "
+              f"CIDEr {scores['cider']:.4f}", flush=True)
     tag = args.tag or "run"
     path = os.path.join(OUT_DIR, f"style_separation_{tag}.json")
     with open(path, "w") as f:
