@@ -433,6 +433,8 @@ def _phase_aux_train(args, dedicated: bool):
     model_cfg = ModelConfig(vocab_size=len(vocab),
                             dedicated_style_tokens=dedicated)
     tag = "dedicated_aux" if dedicated else "aux"
+    if args.seed:
+        tag += f"_s{args.seed}"
     cfg = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
         seed=args.seed, style_aux=True, style_aux_alpha=args.aux_alpha,
