@@ -134,19 +134,51 @@ def main(argv=None):
                 logger.log({"train_loss": float(loss), "epoch": epoch}, step)
         print(f"epoch {epoch} loss {float(loss):.4f} lr {get_lr(state):.2e}")
 
-    if args.variant == "sat":
-        sample = next(iter(BatchLoader(
-            data.batches(val_idx, min(4, train_cfg.batch_size),
-                         style="factual", seed=0, shuffle=False,
-                         drop_remainder=False)
-        )))
-        feats = encode_regions(sample["images"])
-        ids = show_attend_tell_sample(state.params, feats,
-                                      max_len=train_cfg.max_len)
-        q = CaptionMetrics(vocab)
-        q.add_batch_ids(np.asarray(sample["captions"]), np.asarray(ids))
-        print("sat greedy:", {k: round(v, 4) for k, v in q.compute().items()})
-    return state
+    # held-out validation: TF metrics for every variant (the reference
+    # logs metric_score on logits each step, utils.py:229-282 — here
+    # once, corpus-level, off the step path), plus free-running greedy
+    # metrics where the reference has a greedy path (attention:
+    # decoderlstm.py:264-285; sat: later.py:117-165)
+    tf_quality = CaptionMetrics(vocab)
+    greedy_quality = CaptionMetrics(vocab) if args.variant in (
+        "attention", "sat") else None
+    eval_forward = jax.jit(forward)
+    greedy_fn = jax.jit(
+        lambda p, f: dec.lstm_greedy(p, f, max_len=train_cfg.max_len)
+    ) if args.variant == "attention" else None
+    val_losses = []
+    for batch in BatchLoader(
+        data.batches(val_idx, train_cfg.batch_size, style="factual",
+                     seed=0, shuffle=False, drop_remainder=False)
+    ):
+        batch = dict(batch)
+        batch["features"] = encode(batch.pop("images"))
+        db = {k: batch[k] for k in ("features", "captions")}
+        logits, targets = eval_forward(state.params, db)
+        val_losses.append(float(cross_entropy_loss(logits, targets)))
+        tf_quality.add_batch_logits(np.asarray(targets), np.asarray(logits))
+        if args.variant == "attention":
+            ids = greedy_fn(state.params, db["features"])
+            greedy_quality.add_batch_ids(np.asarray(db["captions"]),
+                                         np.asarray(ids))
+        elif args.variant == "sat":
+            ids = show_attend_tell_sample(state.params, db["features"],
+                                          max_len=train_cfg.max_len)
+            greedy_quality.add_batch_ids(np.asarray(db["captions"]),
+                                         np.asarray(ids))
+    results = {}
+    if val_losses:
+        results["val_loss_tf"] = sum(val_losses) / len(val_losses)
+        results.update(
+            {f"tf_{k}": v for k, v in tf_quality.compute().items()}
+        )
+        if greedy_quality is not None:
+            results.update(
+                {f"greedy_{k}": v for k, v in greedy_quality.compute().items()}
+            )
+        logger.log(results, step)
+        print("val:", {k: round(v, 4) for k, v in results.items()})
+    return state, results
 
 
 if __name__ == "__main__":

@@ -291,6 +291,37 @@ def lstm_teacher_forced(
     return jnp.transpose(logits, (1, 0, 2)), jnp.transpose(attn, (1, 0, 2))
 
 
+def lstm_greedy(
+    params: Params,
+    features: jnp.ndarray,
+    max_len: int = 30,
+    end_id: int = 2,
+) -> jnp.ndarray:
+    """Batched greedy decode for the AttentionLstm
+    (/root/reference/models/decoderlstm.py:264-285 greedy_search): start
+    token 0 with its embedding NOT zeroed (unlike the teacher-forced
+    t=0 quirk), argmax feedback, stop on ``</s>`` or ``max_len``.
+    Fixed-shape lax.scan; finished rows emit <pad> (the reference
+    decodes B=1 and breaks out of its Python loop instead)."""
+    hc0 = lstm_init_hidden(params, features)
+    B = features.shape[0]
+    tok0 = jnp.zeros((B,), jnp.int32)
+
+    def body(carry, _):
+        hc, tok, alive = carry
+        word_embed = embedding(params["embed"], tok)
+        hc, logits, _ = lstm_decode_step(params, word_embed, hc, features)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out = jnp.where(alive, nxt, 0)
+        alive = alive & (nxt != end_id)
+        return (hc, nxt, alive), out
+
+    _, toks = jax.lax.scan(
+        body, (hc0, tok0, jnp.ones((B,), bool)), None, length=max_len
+    )
+    return jnp.transpose(toks, (1, 0))
+
+
 # ==================================================== plain seq2seq LSTM =
 def seq_lstm_init(
     key, embed_dim: int, hidden_dim: int, vocab_size: int, dtype=jnp.float32

@@ -204,3 +204,44 @@ class TestSample:
         f = jax.jit(lambda p, r: beam_search(p, r, k=3, max_steps=20))
         res = f(params, raw)
         assert res.tokens.shape == (B, 21)
+
+
+class TestLstmGreedy:
+    """lstm_greedy (AttentionLstm greedy_search,
+    /root/reference/models/decoderlstm.py:264-285): start token 0 with
+    its embedding NOT zeroed, argmax feedback, stop on </s>."""
+
+    @pytest.fixture(scope="class")
+    def lstm_setup(self):
+        params = dec.attention_lstm_init(jax.random.PRNGKey(5), NF, E, H, V)
+        raw = jax.random.normal(jax.random.PRNGKey(8), (B, R, NF))
+        return params, raw
+
+    def test_matches_stepwise_loop(self, lstm_setup):
+        params, feats = lstm_setup
+        hc = dec.lstm_init_hidden(params, feats)
+        tok = jnp.zeros((B,), jnp.int32)
+        alive = np.ones(B, bool)
+        outs = []
+        for _ in range(12):
+            emb = jnp.take(params["embed"], tok, axis=0)
+            hc, logits, _ = dec.lstm_decode_step(params, emb, hc, feats)
+            nxt = np.asarray(jnp.argmax(logits, -1))
+            outs.append(np.where(alive, nxt, 0))
+            alive = alive & (nxt != END)
+            tok = jnp.asarray(nxt, jnp.int32)
+        expected = np.stack(outs, 1)
+        got = np.asarray(dec.lstm_greedy(params, feats, max_len=12))
+        np.testing.assert_array_equal(got, expected)
+
+    def test_pads_after_eos(self, lstm_setup):
+        params, feats = lstm_setup
+        # bias the fc toward </s> so decodes terminate early
+        params = dict(params)
+        params["fc"] = {"w": params["fc"]["w"],
+                        "b": params["fc"]["b"].at[END].add(4.0)}
+        toks = np.asarray(dec.lstm_greedy(params, feats, max_len=20))
+        for row in toks:
+            hit = np.where(row == END)[0]
+            assert hit.size, "biased decode should emit </s>"
+            assert (row[hit[0] + 1:] == 0).all()
