@@ -178,6 +178,12 @@ def main(argv=None):
             )
         logger.log(results, step)
         print("val:", {k: round(v, 4) for k, v in results.items()})
+    # final checkpoint (every reference LSTM trainer attaches a
+    # Lightning ModelCheckpoint, e.g. train_attention_lstm.py /
+    # train_lstm.py __main__ blocks)
+    from captionax.train.checkpoint import save_checkpoint
+
+    save_checkpoint(train_cfg.checkpoint_dir, step, state.params)
     return state, results
 
 

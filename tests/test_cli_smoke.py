@@ -171,8 +171,19 @@ class TestCoreClis:
 
     def test_train_lstm_attention(self, tmp_path):
         from captionax.cli.train_lstm import main
+        from captionax.train.checkpoint import latest_step, restore_checkpoint
 
-        assert main(args(tmp_path, "--variant", "attention")) is not None
+        state, results = main(args(tmp_path, "--variant", "attention"))
+        assert state is not None
+        # final checkpoint saved + restorable (reference ModelCheckpoint)
+        ckpt_dir = str(tmp_path / "ckpt")
+        assert latest_step(ckpt_dir) is not None
+        restored = restore_checkpoint(ckpt_dir, like=state.params)
+        import numpy as np
+
+        np.testing.assert_array_equal(
+            np.asarray(restored["embed"]), np.asarray(state.params["embed"])
+        )
 
     def test_caption_jsonl(self, tmp_path):
         import json
