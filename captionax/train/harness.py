@@ -380,8 +380,11 @@ class CaptionTrainer:
                 n += 1
                 step_losses.append(metrics["train_loss"])
                 if self.global_step % cfg.log_every == 0:
+                    # every scalar the step emitted (e.g. mixup/style-aux
+                    # expose ce_loss + style_loss) — this sync is the
+                    # intended bounded checkpoint of progress
                     self.logger.log(
-                        {"train_loss": float(metrics["train_loss"]),
+                        {**{k: float(v) for k, v in metrics.items()},
                          "lr": get_lr(self.state), "epoch": epoch},
                         step=self.global_step,
                     )
