@@ -423,6 +423,8 @@ def _phase_aux_train(args, dedicated: bool):
     from captionax.train.harness import CaptionTrainer
     from captionax.train.steps import (
         dedicated_style_embed,
+        resolve_style_id,
+        style_table,
         style_token_embed,
     )
     from parity_quality import eval_batches, inject
@@ -433,6 +435,8 @@ def _phase_aux_train(args, dedicated: bool):
     model_cfg = ModelConfig(vocab_size=len(vocab),
                             dedicated_style_tokens=dedicated)
     tag = "dedicated_aux" if dedicated else "aux"
+    if args.select_sep:
+        tag += "_sel"
     if args.seed:
         tag += f"_s{args.seed}"
     cfg = TrainConfig(
@@ -440,6 +444,8 @@ def _phase_aux_train(args, dedicated: bool):
         seed=args.seed, style_aux=True, style_aux_alpha=args.aux_alpha,
         style_aux_split=not args.cpu,
         checkpoint_dir=os.path.join(OUT_DIR, f"ckpt_{tag}"),
+        select_metric="val_sep_acc" if args.select_sep else "val_loss_tf",
+        select_mode="max" if args.select_sep else "min",
     )
     with open(CLF_PATH, "rb") as f:
         clf = pickle.load(f)
@@ -452,6 +458,47 @@ def _phase_aux_train(args, dedicated: bool):
         embed_fn=dedicated_style_embed if dedicated else style_token_embed,
     )
     train_idx, val_idx, _ = data.splits(seed=args.seed)
+
+    sep_hook = None
+    if args.select_sep:
+        # per-epoch VALIDATION-split separation probe (test split stays
+        # unseen — ``gen`` reports on it): greedy free-run a fixed val
+        # subset under each style, frozen-probe classify, monitor the
+        # overall accuracy (cfg.select_metric=val_sep_acc, mode=max).
+        # This is the Lightning ModelCheckpoint(monitor=...) pattern the
+        # reference uses for val loss, pointed at the metric the aux
+        # objective exists to improve — selection, not training signal.
+        import jax.numpy as jnp
+
+        from captionax.decode.search import greedy as greedy_decode
+        from captionax.models.classifiers import (
+            small_style_classifier_apply,
+        )
+        from captionax.models.hypernet import hypernet_apply
+
+        probe_feats = feats[np.asarray(val_idx[:192])]
+        sids = [resolve_style_id(params, vocab, s) for s in STYLES]
+        probe_T = 25  # the probe's trained caption length
+
+        @jax.jit
+        def _probe_one(p, f_, sid):
+            theta = hypernet_apply(p["hn"], style_table(p)[sid])
+            ids = greedy_decode(p["decoder"], f_, max_len=20,
+                                gru_params=theta)
+            padded = jnp.zeros((ids.shape[0], probe_T), jnp.int32)
+            padded = padded.at[:, : ids.shape[1]].set(ids)
+            return small_style_classifier_apply(clf, padded).argmax(-1)
+
+        def sep_hook(p):
+            correct = total = 0
+            for k, sid in enumerate(sids):
+                pred = np.asarray(
+                    _probe_one(p, probe_feats, jnp.int32(sid))
+                )
+                correct += int((pred == k).sum())
+                total += len(pred)
+            return {"val_sep_acc": correct / max(total, 1)}
+
     t0 = time.time()
     trainer.fit(
         lambda epoch: inject(
@@ -461,8 +508,17 @@ def _phase_aux_train(args, dedicated: bool):
         ),
         lambda: eval_batches(data, val_idx, args.batch_size, "random",
                              feats),
+        epoch_end_metrics=sep_hook,
     )
     host = jax.tree_util.tree_map(np.asarray, trainer.params)
+    if args.select_sep:
+        # ship the SELECTED epoch, not the last one
+        from captionax.train.checkpoint import restore_checkpoint
+
+        host = restore_checkpoint(cfg.checkpoint_dir, like=host)
+        host = jax.tree_util.tree_map(np.asarray, host)
+        print(f"selected checkpoint val_sep_acc="
+              f"{-trainer.checkpointer.best:.4f}")
     with open(os.path.join(OUT_DIR, f"trained_hypernet_{tag}.pkl"),
               "wb") as f:
         pickle.dump(host, f)
@@ -498,6 +554,9 @@ def main(argv=None):
     p.add_argument("--alpha", type=float, default=0.3)
     p.add_argument("--aux-alpha", type=float, default=0.7,
                    help="style-aux phases: loss = alpha*CE + (1-alpha)*aux")
+    p.add_argument("--select-sep", action="store_true",
+                   help="aux phases: checkpoint-select on per-epoch "
+                        "VALIDATION style separation (tag gains _sel)")
     p.add_argument("--images", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--clf-epochs", type=int, default=5)

@@ -75,6 +75,14 @@ class TrainConfig:
     style_aux_split: bool = False
     log_every: int = 20
     checkpoint_dir: str = "checkpoints"
+    # which epoch-end metric BestCheckpointer monitors and its direction
+    # (Lightning ModelCheckpoint(monitor=..., mode=...) equivalent; the
+    # reference monitors val loss with mode min everywhere, e.g.
+    # train_attention_gru.py's ModelCheckpoint) — epoch_end_metrics
+    # hooks (train/harness.py fit) can supply custom metrics to monitor,
+    # e.g. validation style separation for --style-aux runs
+    select_metric: str = "val_loss_tf"
+    select_mode: str = "min"
     metrics_every_epochs: int = 1
     # mixed-precision training: decoder matmuls/scan in bfloat16 with
     # f32 master weights + f32 CE (the reference trains f32 only;

@@ -17,7 +17,7 @@ Differences from the reference, by design (SURVEY.md §7.1):
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
 import numpy as np
@@ -344,8 +344,16 @@ class CaptionTrainer:
         self,
         train_batches: Callable[[int], Iterable[Dict]],
         val_batches: Optional[Callable[[], Iterable[Dict]]] = None,
+        epoch_end_metrics: Optional[Callable[[Any], Dict]] = None,
     ) -> Dict:
-        """train_batches(epoch) / val_batches() yield host batch dicts."""
+        """train_batches(epoch) / val_batches() yield host batch dicts.
+
+        ``epoch_end_metrics(params) -> dict`` is an optional per-epoch
+        hook; its scalars are logged with the epoch metrics and are
+        eligible as the checkpoint-selection monitor
+        (``config.select_metric`` / ``select_mode`` — Lightning
+        ModelCheckpoint(monitor=...) equivalent, e.g. monitoring
+        validation style separation for --style-aux runs)."""
         cfg = self.config
         history = {}
         if cfg.auto_lr_find:
@@ -356,10 +364,13 @@ class CaptionTrainer:
             from captionax.core.runtime import trace
 
             with trace(cfg.trace_dir):
-                return self._fit_epochs(train_batches, val_batches, history)
-        return self._fit_epochs(train_batches, val_batches, history)
+                return self._fit_epochs(train_batches, val_batches, history,
+                                        epoch_end_metrics)
+        return self._fit_epochs(train_batches, val_batches, history,
+                                epoch_end_metrics)
 
-    def _fit_epochs(self, train_batches, val_batches, history) -> Dict:
+    def _fit_epochs(self, train_batches, val_batches, history,
+                    epoch_end_metrics=None) -> Dict:
         cfg = self.config
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
@@ -407,8 +418,15 @@ class CaptionTrainer:
                 lr = self.scheduler.step(val["val_loss_tf"], get_lr(self.state))
                 if lr != get_lr(self.state):
                     self.state = set_lr(self.state, lr)
+            if epoch_end_metrics is not None:
+                epoch_metrics.update(epoch_end_metrics(self.params))
+            monitored = epoch_metrics.get(cfg.select_metric)
+            if monitored is not None:
+                # BestCheckpointer is min-based; negate for mode="max"
                 self.checkpointer.maybe_save(
-                    val["val_loss_tf"], self.global_step, self.state.params
+                    float(monitored) if cfg.select_mode == "min"
+                    else -float(monitored),
+                    self.global_step, self.state.params,
                 )
             self.logger.log(epoch_metrics, step=self.global_step)
             history[epoch] = epoch_metrics

@@ -87,6 +87,40 @@ class TestTrainerFit:
         res = trainer.test_beam(feature_batches(V, n_batches=1, seed=7))
         assert "tf_bleu1" in res
 
+    def test_epoch_end_hook_max_mode_selects_best(self, model, tmp_path):
+        """epoch_end_metrics scalars land in history, and
+        select_metric/select_mode=max checkpoints the hook's best epoch
+        (not the last one) — the ModelCheckpoint(monitor=...) pattern
+        the reference's Lightning trainers use (train_attention_gru.py
+        attaches ModelCheckpoint on val loss)."""
+        cfg = TrainConfig(max_epochs=3, batch_size=B, lr=1e-3,
+                          checkpoint_dir=str(tmp_path), log_every=1,
+                          select_metric="val_sep_acc", select_mode="max")
+        trainer = CaptionTrainer(model, "hypernet", cfg, FakeVocab(V),
+                                 run_name="t")
+        canned = iter([0.2, 0.9, 0.4])
+        snaps = []
+
+        def hook(params):
+            snaps.append(jax.tree_util.tree_map(np.asarray, params))
+            return {"val_sep_acc": next(canned)}
+
+        hist = trainer.fit(
+            lambda epoch: feature_batches(V, seed=epoch),
+            lambda: feature_batches(V, n_batches=1, seed=99),
+            epoch_end_metrics=hook,
+        )
+        assert [hist[e]["val_sep_acc"] for e in range(3)] == [0.2, 0.9, 0.4]
+        assert trainer.checkpointer.best == -0.9
+        from captionax.train.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(str(tmp_path), like=model)
+        want, got = snaps[1], jax.tree_util.tree_map(np.asarray, restored)
+        leaves_w = jax.tree_util.tree_leaves(want)
+        leaves_g = jax.tree_util.tree_leaves(got)
+        assert all(np.array_equal(a, b)
+                   for a, b in zip(leaves_w, leaves_g))
+
     def test_lr_find_restores_state_and_sets_lr(self, model, tmp_path):
         """auto_lr_find equivalent (trainer.tune,
         train_attention_gru.py:330-342): the sweep must leave params
