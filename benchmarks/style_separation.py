@@ -435,17 +435,22 @@ def _phase_aux_train(args, dedicated: bool):
     model_cfg = ModelConfig(vocab_size=len(vocab),
                             dedicated_style_tokens=dedicated)
     tag = "dedicated_aux" if dedicated else "aux"
-    if args.select_sep:
+    select = args.select_sep or args.select_sep_margin
+    if args.select_sep_margin:
+        tag += "_selm"
+    elif args.select_sep:
         tag += "_sel"
     if args.seed:
         tag += f"_s{args.seed}"
+    sel_metric = ("val_sep_margin" if args.select_sep_margin
+                  else "val_sep_acc")
     cfg = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
         seed=args.seed, style_aux=True, style_aux_alpha=args.aux_alpha,
         style_aux_split=not args.cpu,
         checkpoint_dir=os.path.join(OUT_DIR, f"ckpt_{tag}"),
-        select_metric="val_sep_acc" if args.select_sep else "val_loss_tf",
-        select_mode="max" if args.select_sep else "min",
+        select_metric=sel_metric if select else "val_loss_tf",
+        select_mode="max" if select else "min",
     )
     with open(CLF_PATH, "rb") as f:
         clf = pickle.load(f)
@@ -460,16 +465,24 @@ def _phase_aux_train(args, dedicated: bool):
     train_idx, val_idx, _ = data.splits(seed=args.seed)
 
     sep_hook = None
-    if args.select_sep:
+    if select:
         # per-epoch VALIDATION-split separation probe (test split stays
-        # unseen — ``gen`` reports on it): greedy free-run a fixed val
-        # subset under each style, frozen-probe classify, monitor the
-        # overall accuracy (cfg.select_metric=val_sep_acc, mode=max).
-        # This is the Lightning ModelCheckpoint(monitor=...) pattern the
-        # reference uses for val loss, pointed at the metric the aux
-        # objective exists to improve — selection, not training signal.
+        # unseen — ``gen`` reports on it): free-run a fixed val subset
+        # under each style, frozen-probe classify, monitor a separation
+        # metric.  This is the Lightning ModelCheckpoint(monitor=...)
+        # pattern the reference uses for val loss, pointed at the metric
+        # the aux objective exists to improve — selection, not training
+        # signal.  Two monitor variants, both measured (BASELINE.md):
+        # --select-sep: GREEDY decode + accuracy.  Measured caveats: the
+        #   accuracy saturates at 1.0 (selection then freezes on the
+        #   first saturated epoch) and greedy output is more
+        #   style-marked than the beam output ``gen`` reports on.
+        # --select-sep-margin: k=3 BEAM decode (matched to ``gen``) +
+        #   mean probe probability of the true style — continuous, so
+        #   later genuinely-better epochs keep winning.
         import jax.numpy as jnp
 
+        from captionax.decode.search import beam_search
         from captionax.decode.search import greedy as greedy_decode
         from captionax.models.classifiers import (
             small_style_classifier_apply,
@@ -483,21 +496,29 @@ def _phase_aux_train(args, dedicated: bool):
         @jax.jit
         def _probe_one(p, f_, sid):
             theta = hypernet_apply(p["hn"], style_table(p)[sid])
-            ids = greedy_decode(p["decoder"], f_, max_len=20,
-                                gru_params=theta)
+            if args.select_sep_margin:
+                ids = beam_search(p["decoder"], f_, k=3, max_steps=20,
+                                  gru_params=theta).tokens
+            else:
+                ids = greedy_decode(p["decoder"], f_, max_len=20,
+                                    gru_params=theta)
             padded = jnp.zeros((ids.shape[0], probe_T), jnp.int32)
             padded = padded.at[:, : ids.shape[1]].set(ids)
-            return small_style_classifier_apply(clf, padded).argmax(-1)
+            return jax.nn.softmax(
+                small_style_classifier_apply(clf, padded), axis=-1
+            )
 
         def sep_hook(p):
-            correct = total = 0
+            true_prob, correct, total = 0.0, 0, 0
             for k, sid in enumerate(sids):
-                pred = np.asarray(
+                probs = np.asarray(
                     _probe_one(p, probe_feats, jnp.int32(sid))
                 )
-                correct += int((pred == k).sum())
-                total += len(pred)
-            return {"val_sep_acc": correct / max(total, 1)}
+                true_prob += float(probs[:, k].sum())
+                correct += int((probs.argmax(-1) == k).sum())
+                total += len(probs)
+            return {"val_sep_acc": correct / max(total, 1),
+                    "val_sep_margin": true_prob / max(total, 1)}
 
     t0 = time.time()
     trainer.fit(
@@ -511,13 +532,13 @@ def _phase_aux_train(args, dedicated: bool):
         epoch_end_metrics=sep_hook,
     )
     host = jax.tree_util.tree_map(np.asarray, trainer.params)
-    if args.select_sep:
+    if select:
         # ship the SELECTED epoch, not the last one
         from captionax.train.checkpoint import restore_checkpoint
 
         host = restore_checkpoint(cfg.checkpoint_dir, like=host)
         host = jax.tree_util.tree_map(np.asarray, host)
-        print(f"selected checkpoint val_sep_acc="
+        print(f"selected checkpoint {sel_metric}="
               f"{-trainer.checkpointer.best:.4f}")
     with open(os.path.join(OUT_DIR, f"trained_hypernet_{tag}.pkl"),
               "wb") as f:
@@ -557,6 +578,11 @@ def main(argv=None):
     p.add_argument("--select-sep", action="store_true",
                    help="aux phases: checkpoint-select on per-epoch "
                         "VALIDATION style separation (tag gains _sel)")
+    p.add_argument("--select-sep-margin", action="store_true",
+                   help="like --select-sep but the monitor is the mean "
+                        "frozen-probe probability of the true style over "
+                        "BEAM-decoded val captions (continuous, matched to "
+                        "the gen phase's decode; tag gains _selm)")
     p.add_argument("--images", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--clf-epochs", type=int, default=5)
