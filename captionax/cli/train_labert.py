@@ -59,6 +59,16 @@ def main(argv=None):
         "--pipe-micro", type=int, default=0,
         help="microbatches per step (default 2*pipe; batch size must "
              "divide by it)")
+    parser.add_argument(
+        "--seq", type=int, default=1,
+        help="sequence-parallel shards for the BERT token axis (train "
+             "step only; needs --seq devices; text columns are pad-"
+             "extended so 49+T divides by it — loss-neutral). "
+             "Mutually exclusive with --pipe")
+    parser.add_argument(
+        "--seq-ring", action="store_true",
+        help="with --seq: ring-attention schedule (ppermute K/V blocks, "
+             "O(T^2/S^2) score memory) instead of all-gather K/V")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -110,6 +120,38 @@ def main(argv=None):
             num_heads=args.bert_heads,
         )
 
+    # --seq N: shard the 49+T token axis over a ``seq`` mesh axis
+    # (parallel/sequence.py) in the TRAIN step; the loss is identical to
+    # the sequential stack (test-enforced).  Text columns are padded with
+    # pad-id (attention 0, never selected for masking) so the total token
+    # count divides by N — loss-neutral by construction.
+    n_seq = max(1, args.seq)
+    if n_seq > 1:
+        from captionax.parallel.sequence import (
+            sequence_mesh, sequence_parallel_bert_encoder,
+        )
+
+        if args.pipe > 1:
+            parser.error("--seq and --pipe are mutually exclusive")
+        if len(jax.devices()) < n_seq:
+            parser.error(f"--seq {n_seq} needs {n_seq} devices, "
+                         f"have {len(jax.devices())}")
+        enc = sequence_parallel_bert_encoder(
+            sequence_mesh(n_seq=n_seq), num_heads=args.bert_heads,
+            ring=args.seq_ring,
+        )
+
+    def pad_for_seq(caps, types):
+        """Pad text columns so 49 image + T text divides by --seq."""
+        if n_seq == 1:
+            return caps, types
+        short = (-(49 + caps.shape[1])) % n_seq
+        if not short:
+            return caps, types
+        pad = np.zeros((caps.shape[0], short), caps.dtype)  # pad_id = 0
+        return (np.concatenate([caps, pad], 1),
+                np.concatenate([types, pad.astype(types.dtype)], 1))
+
     @jax.jit
     def train_step(state, feats, caps, types, rng):
         def loss_fn(p):
@@ -132,9 +174,11 @@ def main(argv=None):
                          seed=train_cfg.seed + epoch)
         )):
             feats = encode(batch["images"])
+            caps, types = pad_for_seq(
+                batch["captions"], batch["token_type_ids"]
+            )
             state, loss = train_step(
-                state, feats, batch["captions"], batch["token_type_ids"],
-                jax.random.PRNGKey(step),
+                state, feats, caps, types, jax.random.PRNGKey(step),
             )
             step += 1
             if step % train_cfg.log_every == 0:

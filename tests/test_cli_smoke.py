@@ -270,6 +270,15 @@ class TestLongTailClis:
                   "--bert-layers", "4", "--bert-heads", "4",
                   "--pipe", "4", "--pipe-micro", "2"))
 
+    def test_train_labert_seq(self, tmp_path):
+        # --seq: BERT token axis sharded over 4 devices (ring schedule);
+        # text columns pad-extended so 49+T divides by 4
+        from captionax.cli.train_labert import main
+
+        main(args(tmp_path, "--synthetic-images", "16", "--hidden", "32",
+                  "--bert-layers", "4", "--bert-heads", "4",
+                  "--seq", "4", "--seq-ring"))
+
     def test_train_catr(self, tmp_path):
         from captionax.cli.train_catr import main
 
