@@ -6,8 +6,9 @@ No reference equivalent (its distributed hooks are dead code, SURVEY.md
 - builds the requested ``data x model`` (and optionally ``pipe``) mesh;
 - jits ONE full training step of the chosen model family over it at the
   user's dims on tiny batches, asserting a finite loss;
-- with ``--pipe``, runs a pipelined LaBERT grad step and checks the loss
-  equals the sequential stack's;
+- with ``--pipe`` (or ``--seq [--seq-ring]``), runs a pipelined (or
+  sequence-sharded) LaBERT grad step and checks the loss equals the
+  sequential stack's;
 - prints the resulting parameter shardings.
 
 Run it on real chips as-is, or anywhere with virtual devices:
@@ -59,6 +60,11 @@ def main(argv=None):
     parser.add_argument("--pipe", type=int, default=0,
                         help="pipeline stages (labert only; uses a "
                              "data x pipe mesh instead of data x model)")
+    parser.add_argument("--seq", type=int, default=0,
+                        help="sequence-parallel shards of the token axis "
+                             "(labert only; data x seq mesh)")
+    parser.add_argument("--seq-ring", action="store_true",
+                        help="with --seq: ring-attention schedule")
     parser.add_argument("--feature-size", type=int, default=200)
     parser.add_argument("--embed-size", type=int, default=200)
     parser.add_argument("--hidden-size", type=int, default=200)
@@ -171,11 +177,15 @@ def _check_labert(args, jax, jnp):
 
     n_devices = len(jax.devices())
     n_pipe = args.pipe or 1
-    n_data = args.mesh_data or n_devices // max(n_pipe, 1)
+    n_seq = args.seq or 1
+    if n_pipe > 1 and n_seq > 1:
+        raise SystemExit("--pipe and --seq are mutually exclusive")
+    n_data = args.mesh_data or n_devices // max(n_pipe, n_seq, 1)
     if n_pipe > 1 and args.bert_layers % n_pipe:
         raise SystemExit(f"--bert-layers {args.bert_layers} must divide "
                          f"by --pipe {n_pipe}")
-    print(f"mesh: data{n_data} x pipe{n_pipe}")
+    axis = f"pipe{n_pipe}" if n_pipe > 1 else f"seq{n_seq}"
+    print(f"mesh: data{n_data} x {axis}")
 
     params = labert.labert_init(
         jax.random.PRNGKey(0), vocab_size=args.vocab_size,
@@ -184,6 +194,7 @@ def _check_labert(args, jax, jnp):
         num_regions=4, image_dim=args.num_features,
     )
     B, R, T = 2 * n_devices, 4, 6
+    T += (-(R + T)) % max(n_seq, 1)  # 4 image + T text must divide --seq
     kf, ki = jax.random.split(jax.random.PRNGKey(1))
     feats = jax.random.normal(kf, (B, R, args.num_features))
     ids = jax.random.randint(ki, (B, T), 0, args.vocab_size)
@@ -196,6 +207,16 @@ def _check_labert(args, jax, jnp):
             pipeline_mesh(n_pipe=n_pipe, n_data=n_data),
             n_micro=max(2, n_pipe), num_heads=args.bert_heads,
             data_axis="data",
+        )
+    elif n_seq > 1:
+        from captionax.parallel.sequence import (
+            sequence_mesh, sequence_parallel_bert_encoder,
+        )
+
+        enc = sequence_parallel_bert_encoder(
+            sequence_mesh(n_seq=n_seq, n_data=n_data),
+            num_heads=args.bert_heads, data_axis="data",
+            ring=args.seq_ring,
         )
 
     def loss(p, encoder_fn=None):
@@ -211,7 +232,9 @@ def _check_labert(args, jax, jnp):
         for g in jax.tree_util.tree_leaves(grads)
     )
     assert finite, "non-finite grads"
-    msg = f"pipelined loss {float(lp):.4f}, grads finite"
+    mode = ("pipelined" if n_pipe > 1
+            else "seq-sharded" if n_seq > 1 else "sequential")
+    msg = f"{mode} loss {float(lp):.4f}, grads finite"
     if enc is not None:
         ls = jax.jit(loss)(params)
         assert abs(float(lp) - float(ls)) < 1e-3, (float(lp), float(ls))
