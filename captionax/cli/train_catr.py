@@ -40,6 +40,15 @@ def main(argv=None):
     parser.add_argument("--enc-layers", type=int, default=6)
     parser.add_argument("--dec-layers", type=int, default=6)
     parser.add_argument("--encoder-weights", type=str, default="")
+    parser.add_argument(
+        "--pipe", type=int, default=1,
+        help="pipeline-parallel stages for BOTH transformer halves "
+             "(train step only; needs --pipe devices and enc/dec layer "
+             "counts divisible by it)")
+    parser.add_argument(
+        "--pipe-micro", type=int, default=0,
+        help="microbatches per step (default 2*pipe; batch size must "
+             "divide by it)")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -60,11 +69,40 @@ def main(argv=None):
 
     encode = jax.jit(lambda imgs: encoder_cnn(encoder_params, preprocess_images(imgs)))
 
+    # --pipe N: both DETR halves as N-stage GPipe schedules
+    # (parallel/pipeline.py pipelined_catr_stacks) in the TRAIN step —
+    # the loss equals the sequential stacks (test-enforced).  Validation
+    # decode keeps the sequential path (autoregressive greedy re-runs the
+    # decoder per step; the fixed-shape schedule wants B % n_micro == 0).
+    enc_fn = dec_fn = None
+    if args.pipe > 1:
+        from captionax.parallel.pipeline import (
+            pipeline_mesh, pipelined_catr_stacks,
+        )
+
+        n_micro = args.pipe_micro or 2 * args.pipe
+        for nm, n in (("--enc-layers", args.enc_layers),
+                      ("--dec-layers", args.dec_layers)):
+            if n % args.pipe:
+                parser.error(f"{nm} {n} must divide by --pipe {args.pipe}")
+        if train_cfg.batch_size % n_micro:
+            parser.error(f"--batch-size {train_cfg.batch_size} must "
+                         f"divide by --pipe-micro {n_micro}")
+        if len(jax.devices()) < args.pipe:
+            parser.error(f"--pipe {args.pipe} needs {args.pipe} devices, "
+                         f"have {len(jax.devices())}")
+        enc_fn, dec_fn = pipelined_catr_stacks(
+            pipeline_mesh(n_pipe=args.pipe), n_micro=n_micro,
+            num_heads=args.heads,
+        )
+
     @jax.jit
     def train_step(state, feats, caps):
         def loss_fn(p):
             # inputs caps[:, :-1] predict caps[:, 1:] (causal shift)
-            logits = catr_forward(p, feats, caps[:, :-1])
+            logits = catr_forward(p, feats, caps[:, :-1],
+                                  encoder_fn=enc_fn, decoder_fn=dec_fn,
+                                  num_heads=args.heads)
             return cross_entropy_loss(logits, caps[:, 1:])
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -85,7 +123,8 @@ def main(argv=None):
         print(f"epoch {epoch} train_loss {float(loss):.4f} lr {get_lr(state):.2e}")
 
     greedy_fn = jax.jit(
-        lambda p, f: catr_greedy(p, f, max_len=train_cfg.max_len)
+        lambda p, f: catr_greedy(p, f, max_len=train_cfg.max_len,
+                                 num_heads=args.heads)
     )
     quality = CaptionMetrics(vocab)
     n_val = 0

@@ -71,16 +71,27 @@ def catr_encode(
     image_features: jnp.ndarray,  # [B, R, 2048], R = h*w
     grid_hw=(7, 7),
     pre_norm: bool = True,
+    encoder_fn=None,
+    num_heads=None,
 ) -> jnp.ndarray:
     """Image half only -> memory [B, R, H].  Loop-invariant during
-    autoregressive decode, so :func:`catr_greedy` runs it once."""
-    heads = _num_heads(params)
+    autoregressive decode, so :func:`catr_greedy` runs it once.
+
+    ``encoder_fn(layers_params, x, heads, pos) -> x``: drop-in
+    replacement for the sequential encoder stack (e.g. the GPipe
+    schedule, parallel/pipeline.py pipelined_catr_stacks) — must keep
+    its semantics exactly.  ``num_heads``: override the hidden//32
+    default (static under jit; heads do not change param shapes)."""
+    heads = num_heads or _num_heads(params)
     hidden = params["word_emb"].shape[1]
     src = linear(params["input_proj"], image_features)  # [B, R, H]
     pos = sine_position_2d(grid_hw[0], grid_hw[1], hidden)[None]
-    x = src
-    for layer in params["encoder"]:
-        x = detr_encoder_layer(layer, x, pos, heads, pre_norm)
+    if encoder_fn is not None:
+        x = encoder_fn(params["encoder"], src, heads, pos)
+    else:
+        x = src
+        for layer in params["encoder"]:
+            x = detr_encoder_layer(layer, x, pos, heads, pre_norm)
     if pre_norm:
         x = layer_norm(params["enc_ln"], x)
     return x
@@ -92,21 +103,32 @@ def catr_decode_logits(
     captions: jnp.ndarray,        # [B, T] int ids
     grid_hw=(7, 7),
     pre_norm: bool = True,
+    decoder_fn=None,
+    num_heads=None,
 ) -> jnp.ndarray:
-    """Text half -> logits [B, T, V] given precomputed encoder memory."""
+    """Text half -> logits [B, T, V] given precomputed encoder memory.
+
+    ``decoder_fn(layers_params, tgt, memory, tgt_pos, mem_pos, heads,
+    tgt_mask) -> y``: drop-in replacement for the sequential decoder
+    stack (see catr_encode)."""
     T = captions.shape[1]
-    heads = _num_heads(params)
+    heads = num_heads or _num_heads(params)
     hidden = params["word_emb"].shape[1]
     pos = sine_position_2d(grid_hw[0], grid_hw[1], hidden)[None]
 
     tgt = embedding(params["word_emb"], captions)
     tgt_pos = params["tgt_pos_emb"][:T][None]
     tmask = causal_mask(T)
-    y = tgt
-    for layer in params["decoder"]:
-        y = detr_decoder_layer(
-            layer, y, memory, tgt_pos, pos, heads, pre_norm, tgt_mask=tmask
-        )
+    if decoder_fn is not None:
+        y = decoder_fn(params["decoder"], tgt, memory, tgt_pos, pos,
+                       heads, tmask)
+    else:
+        y = tgt
+        for layer in params["decoder"]:
+            y = detr_decoder_layer(
+                layer, y, memory, tgt_pos, pos, heads, pre_norm,
+                tgt_mask=tmask
+            )
     if pre_norm:
         y = layer_norm(params["dec_ln"], y)
 
@@ -121,15 +143,20 @@ def catr_forward(
     captions: jnp.ndarray,        # [B, T] int ids
     grid_hw=(7, 7),
     pre_norm: bool = True,
+    encoder_fn=None,
+    decoder_fn=None,
+    num_heads=None,
 ) -> jnp.ndarray:
     """-> logits [B, T, V], teacher-forced (causal self-attention)."""
-    memory = catr_encode(params, image_features, grid_hw, pre_norm)
-    return catr_decode_logits(params, memory, captions, grid_hw, pre_norm)
+    memory = catr_encode(params, image_features, grid_hw, pre_norm,
+                         encoder_fn=encoder_fn, num_heads=num_heads)
+    return catr_decode_logits(params, memory, captions, grid_hw, pre_norm,
+                              decoder_fn=decoder_fn, num_heads=num_heads)
 
 
 def catr_greedy(
     params, image_features, max_len: int = 25, bos_id: int = 1, eos_id: int = 2,
-    grid_hw=(7, 7),
+    grid_hw=(7, 7), num_heads=None,
 ) -> jnp.ndarray:
     """Greedy autoregressive decode with a fixed-shape token buffer (the
     full DECODER prefix re-runs each step — caption lengths are tiny, so
@@ -138,10 +165,12 @@ def catr_greedy(
     rather than relying on XLA's while-loop LICM to hoist it."""
     B = image_features.shape[0]
     ids = jnp.full((B, max_len), 0, jnp.int32).at[:, 0].set(bos_id)
-    memory = catr_encode(params, image_features, grid_hw)
+    memory = catr_encode(params, image_features, grid_hw,
+                         num_heads=num_heads)
 
     def body(t, ids):
-        logits = catr_decode_logits(params, memory, ids, grid_hw)
+        logits = catr_decode_logits(params, memory, ids, grid_hw,
+                                    num_heads=num_heads)
         nxt = logits[:, t].argmax(-1).astype(jnp.int32)
         return ids.at[:, t + 1].set(nxt)
 

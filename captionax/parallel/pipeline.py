@@ -225,6 +225,73 @@ def pipelined_bert_encoder(
     return encoder
 
 
+def pipelined_catr_stacks(
+    mesh: Mesh,
+    n_micro: int,
+    num_heads: int,
+    pre_norm: bool = True,
+    pipe_axis: str = "pipe",
+    data_axis: Optional[str] = None,
+):
+    """GPipe schedules for BOTH halves of CATR's DETR transformer
+    (/root/reference/baseline/transformer.py 6+6 stacks): returns
+    ``(encoder_fn, decoder_fn)`` plugging into
+    ``catr_forward(..., encoder_fn=..., decoder_fn=...)``.
+
+    Each half is its own homogeneous stack on the same ``pipe`` ring;
+    per-layer invariants (sine positions, decoder memory, causal mask)
+    ride the schedule as per-microbatch extras.
+    """
+    from captionax.models.transformer import (
+        detr_decoder_layer, detr_encoder_layer,
+    )
+
+    enc_pipe = make_pipeline(
+        lambda p, h, pos: detr_encoder_layer(p, h, pos, num_heads,
+                                             pre_norm),
+        mesh, n_micro, pipe_axis=pipe_axis, data_axis=data_axis,
+    )
+    dec_pipe = make_pipeline(
+        lambda p, y, mem, tpos, mpos, tmask: detr_decoder_layer(
+            p, y, mem, tpos, mpos, num_heads, pre_norm, tgt_mask=tmask
+        ),
+        mesh, n_micro, pipe_axis=pipe_axis, data_axis=data_axis,
+    )
+
+    def _batched(a, B):
+        """Broadcast batchless per-layer invariants onto the batch axis
+        so they microbatch like everything else."""
+        return (jnp.broadcast_to(a, (B,) + a.shape[1:])
+                if a.shape[0] != B else a)
+
+    def encoder_fn(layers_params, x, heads, pos):
+        # heads is fixed at build time; the model derives its value from
+        # hidden//32 (catr._num_heads) — catch a mismatch loudly
+        assert heads == num_heads, (heads, num_heads)
+        stacked = (
+            stack_layers(layers_params)
+            if isinstance(layers_params, (list, tuple))
+            else layers_params
+        )
+        return enc_pipe(stacked, x, _batched(pos, x.shape[0]))
+
+    def decoder_fn(layers_params, tgt, memory, tgt_pos, mem_pos, heads,
+                   tgt_mask):
+        assert heads == num_heads, (heads, num_heads)
+        stacked = (
+            stack_layers(layers_params)
+            if isinstance(layers_params, (list, tuple))
+            else layers_params
+        )
+        B = tgt.shape[0]
+        return dec_pipe(
+            stacked, tgt, _batched(memory, B), _batched(tgt_pos, B),
+            _batched(mem_pos, B), _batched(tgt_mask, B),
+        )
+
+    return encoder_fn, decoder_fn
+
+
 def pipeline_mesh(
     n_pipe: int,
     n_data: int = 1,

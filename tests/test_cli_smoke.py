@@ -284,6 +284,15 @@ class TestLongTailClis:
 
         main(args(tmp_path))
 
+    def test_train_catr_pipe(self, tmp_path):
+        # --pipe: both DETR halves as 4-stage GPipe schedules on the
+        # virtual 8-device mesh (train step only)
+        from captionax.cli.train_catr import main
+
+        main(args(tmp_path, "--hidden", "32", "--heads", "4",
+                  "--enc-layers", "4", "--dec-layers", "4",
+                  "--pipe", "4", "--pipe-micro", "2"))
+
     def test_train_hyper_combine(self, tmp_path):
         from captionax.cli.train_hyper_combine import main
 

@@ -144,6 +144,28 @@ def test_labert_pipelined_encoder_matches():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_catr_forward_pipelined_stacks_match():
+    # both CATR halves (6+6 reference shape, 4+4 here) as GPipe schedules
+    # through the catr_forward hooks must equal the sequential model
+    from captionax.models import catr
+    from captionax.parallel.pipeline import pipelined_catr_stacks
+
+    params = catr.catr_init(
+        jax.random.PRNGKey(8), vocab_size=64, hidden=32, num_heads=4,
+        ff=64, enc_layers=4, dec_layers=4, image_dim=16,
+    )
+    Bq, T = 8, 6
+    feats = jax.random.normal(jax.random.PRNGKey(9), (Bq, 6, 16))
+    caps = jax.random.randint(jax.random.PRNGKey(10), (Bq, T), 0, 64)
+    ref = catr.catr_forward(params, feats, caps, grid_hw=(2, 3),
+                            num_heads=4)
+    enc, dec = pipelined_catr_stacks(pipeline_mesh(4), n_micro=4,
+                                     num_heads=4)
+    out = catr.catr_forward(params, feats, caps, grid_hw=(2, 3),
+                            encoder_fn=enc, decoder_fn=dec, num_heads=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_catr_encoder_stack_pipelines_via_extras():
     # generality check: the DETR encoder layer's per-position embedding
     # rides the schedule as an extra (broadcast over batch)
