@@ -180,6 +180,11 @@ def _check_labert(args, jax, jnp):
     n_seq = args.seq or 1
     if n_pipe > 1 and n_seq > 1:
         raise SystemExit("--pipe and --seq are mutually exclusive")
+    if max(n_pipe, n_seq) > n_devices:
+        raise SystemExit(
+            f"--pipe/--seq {max(n_pipe, n_seq)} needs that many devices, "
+            f"have {n_devices}"
+        )
     n_data = args.mesh_data or n_devices // max(n_pipe, n_seq, 1)
     if n_pipe > 1 and args.bert_layers % n_pipe:
         raise SystemExit(f"--bert-layers {args.bert_layers} must divide "

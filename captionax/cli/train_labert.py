@@ -63,7 +63,7 @@ def main(argv=None):
         "--seq", type=int, default=1,
         help="sequence-parallel shards for the BERT token axis (train "
              "step only; needs --seq devices; text columns are pad-"
-             "extended so 49+T divides by it — loss-neutral). "
+             "extended so regions+T divide by it — loss-neutral). "
              "Mutually exclusive with --pipe")
     parser.add_argument(
         "--seq-ring", action="store_true",
@@ -141,11 +141,11 @@ def main(argv=None):
             ring=args.seq_ring,
         )
 
-    def pad_for_seq(caps, types):
-        """Pad text columns so 49 image + T text divides by --seq."""
+    def pad_for_seq(caps, types, n_regions):
+        """Pad text columns so image regions + T text divide by --seq."""
         if n_seq == 1:
             return caps, types
-        short = (-(49 + caps.shape[1])) % n_seq
+        short = (-(n_regions + caps.shape[1])) % n_seq
         if not short:
             return caps, types
         pad = np.zeros((caps.shape[0], short), caps.dtype)  # pad_id = 0
@@ -175,7 +175,7 @@ def main(argv=None):
         )):
             feats = encode(batch["images"])
             caps, types = pad_for_seq(
-                batch["captions"], batch["token_type_ids"]
+                batch["captions"], batch["token_type_ids"], feats.shape[1]
             )
             state, loss = train_step(
                 state, feats, caps, types, jax.random.PRNGKey(step),

@@ -170,8 +170,8 @@ def sequence_parallel_bert_encoder(
     with the token axis sharded over ``seq_axis`` — plugs into
     ``labert_forward(..., encoder_fn=...)``.
 
-    The total token count (LaBERT: 49 image + T text) must divide the
-    seq-axis size; pad the text side (pad-id tokens, attention 0) to
+    The seq-axis size must divide the total token count (LaBERT: 49
+    image + T text); pad the text side (pad-id tokens, attention 0) to
     satisfy it — masked-out columns do not change any real row's
     softmax.  Accepts the layer list or a stacked [L, ...] pytree.
     """
@@ -200,6 +200,8 @@ def sequence_parallel_bert_encoder(
                 "text side (see docstring)"
             )
         B = x.shape[0]
+        if mask is None:  # bert_encoder's mask is Optional — keep that
+            mask = jnp.zeros((B, 1, 1, T), x.dtype)
         if mask.shape[0] != B:  # batch-less (e.g. causal) masks
             mask = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
         return shard_map(
@@ -219,8 +221,8 @@ def expert_theta_bank(
     Returns ``synth(params, style_embeds [S, E]) -> theta bank`` equal to
     ``train.steps.synthesize_theta_batched`` (each theta leaf [S, ...],
     replicated on every chip): chip e runs the hypernet MLP over rows
-    [e*S/E, (e+1)*S/E) and the bank is all-gathered.  S must divide the
-    expert-axis size.  Relay note: like the batched synthesis, keep this
+    [e*S/E, (e+1)*S/E) and the bank is all-gathered.  The expert-axis
+    size must divide S.  Relay note: like the batched synthesis, keep this
     in its own dispatch, separate from the fused decode kernels
     (CLAUDE.md relay compile limits).
     """

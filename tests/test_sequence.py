@@ -82,6 +82,15 @@ class TestSequenceParallel:
         out = jax.jit(lambda xx: enc(layers, xx, HEADS, pad_mask))(x)
         np.testing.assert_allclose(out, dense, atol=2e-5, rtol=2e-5)
 
+    @pytest.mark.parametrize("ring", [False, True])
+    def test_mask_none(self, layers, x, ring):
+        # bert_encoder's mask is Optional — the drop-in must accept None
+        dense = tfm.bert_encoder(layers, x, HEADS, None)
+        mesh = sequence_mesh(n_seq=4)
+        enc = sequence_parallel_bert_encoder(mesh, HEADS, ring=ring)
+        out = jax.jit(lambda xx: enc(layers, xx, HEADS, None))(x)
+        np.testing.assert_allclose(out, dense, atol=2e-5, rtol=2e-5)
+
     def test_indivisible_token_axis_raises(self, layers, pad_mask):
         mesh = sequence_mesh(n_seq=4)
         enc = sequence_parallel_bert_encoder(mesh, HEADS)
