@@ -77,3 +77,54 @@ class TestFullStateCheckpoint:
                         jax.tree_util.tree_leaves(back.opt_state)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(back.step) == 1
+
+    def test_interrupted_training_continues_bit_exact(self, tmp_path):
+        """The Lightning-checkpoint contract the reference relies on:
+        train k steps, checkpoint, restore into a FRESH process-alike
+        state, train N-k more — params must be bit-identical to N
+        uninterrupted steps (Adam moments + step counter carried)."""
+        from captionax.models import decoder as dec
+        from captionax.train.checkpoint import (
+            restore_train_state,
+            save_train_state,
+        )
+        from captionax.train.steps import make_gru_steps
+
+        params = dec.attention_gru_init(
+            jax.random.PRNGKey(0), 24, 12, 12, 12, 37
+        )
+        tx = make_optimizer(1e-2)
+        step, _ = make_gru_steps(tx)
+        step = jax.jit(step)
+
+        def batch(i):
+            k = jax.random.PRNGKey(100 + i)
+            return {
+                "features": jax.random.normal(k, (4, 7, 24)),
+                "captions": jax.random.randint(k, (4, 9), 1, 37),
+            }
+
+        straight = create_train_state(params, tx)
+        for i in range(6):
+            straight, _ = step(straight, batch(i))
+
+        part = create_train_state(params, tx)
+        for i in range(3):
+            part, _ = step(part, batch(i))
+        save_train_state(str(tmp_path), 3, part)
+
+        resumed = restore_train_state(
+            str(tmp_path),
+            create_train_state(
+                dec.attention_gru_init(jax.random.PRNGKey(9), 24, 12, 12,
+                                       12, 37),  # fresh like-tree
+                tx,
+            ),
+        )
+        for i in range(3, 6):
+            resumed, _ = step(resumed, batch(i))
+
+        for a, b in zip(jax.tree_util.tree_leaves(straight.params),
+                        jax.tree_util.tree_leaves(resumed.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(resumed.step) == int(straight.step) == 6
