@@ -440,6 +440,8 @@ def _phase_aux_train(args, dedicated: bool):
         tag += "_selm"
     elif args.select_sep:
         tag += "_sel"
+    if args.init_distilled:
+        tag += "_dinit"
     if args.seed:
         tag += f"_s{args.seed}"
     sel_metric = ("val_sep_margin" if args.select_sep_margin
@@ -457,6 +459,14 @@ def _phase_aux_train(args, dedicated: bool):
     params = build_hypernet_model(model_cfg, vocab,
                                   jax.random.PRNGKey(args.seed),
                                   hyper_emb=model_cfg.embed_size)
+    if args.init_distilled:
+        # warm-start the hypernet from the train_init distillation
+        # (benchmarks/init_distill.py --phase targets,distill — the
+        # reference's pretrain-then-finetune design, train_init.py:70-123).
+        # The pkl holds the full model pytree; only the hn is distilled —
+        # the decoder keeps this run's seed-dependent init.
+        with open(os.path.join(OUT_DIR, "distilled_hn.pkl"), "rb") as f:
+            params["hn"] = pickle.load(f)["hn"]
     trainer = CaptionTrainer(
         params, "hypernet", cfg, vocab, run_name=tag,
         style_classifier_params=clf,
@@ -578,6 +588,10 @@ def main(argv=None):
     p.add_argument("--select-sep", action="store_true",
                    help="aux phases: checkpoint-select on per-epoch "
                         "VALIDATION style separation (tag gains _sel)")
+    p.add_argument("--init-distilled", action="store_true",
+                   help="aux phases: warm-start the hypernet from "
+                        "benchmarks/_parity/distilled_hn.pkl "
+                        "(init_distill.py) — tag gains _dinit")
     p.add_argument("--select-sep-margin", action="store_true",
                    help="like --select-sep but the monitor is the mean "
                         "frozen-probe probability of the true style over "

@@ -207,11 +207,24 @@ class CaptionService:
                     del self._lat_ms[:2048]
 
     def stats(self) -> dict:
-        """Served/error counts + recent latency percentiles (ms)."""
+        """Served/error counts + recent latency percentiles (ms) + host
+        RSS (ops visibility: through the axon relay image every
+        host->device transfer's bytes leak in the PJRT plugin —
+        measured 1:1 in benchmarks/serving_soak.py; stock JAX is flat —
+        so RSS here is the signal for when a relay-attached worker
+        needs recycling)."""
         with self._stats_lock:
             lat = np.asarray(self._lat_ms, np.float64)
             out = {"served": self._served, "errors": self._errors,
                    "styles": self.styles, "decode": self.decode}
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        out["rss_mb"] = round(int(line.split()[1]) / 1024, 1)
+                        break
+        except OSError:
+            pass
         if lat.size:
             out["p50_ms"] = round(float(np.percentile(lat, 50)), 2)
             out["p95_ms"] = round(float(np.percentile(lat, 95)), 2)
