@@ -99,6 +99,7 @@ class TrainConfig:
     # instead of every batch every epoch (the reference recomputes it,
     # train_attention_gru.py:105)
     cache_features: bool = False
+    cache_features_device: bool = False
     # dump a jax.profiler trace of the fit loop to this directory
     # (view with TensorBoard/xprof; the reference has no profiling at
     # all — SURVEY §5); empty = off

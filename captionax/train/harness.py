@@ -48,22 +48,47 @@ DEVICE_BATCH_KEYS = ("features", "captions", "style_id", "domain_value")
 
 
 class FeatureCache:
-    """Host-RAM cache of frozen-encoder outputs keyed by dataset index.
+    """Cache of frozen-encoder outputs keyed by dataset index.
 
     The reference re-runs its frozen CNN on every batch of every epoch
     (train_attention_gru.py:105); since the encoder is frozen the
     features are a pure function of the image, so each image is encoded
-    exactly once and served from RAM afterwards (float16, ~200 KB/image
-    at 49x2048 — the whole Flickr7k corpus is ~1.4 GB).  The encoder
-    already computes in bfloat16, so the f16 round-trip is lossless for
-    practical purposes."""
+    exactly once and served from the cache afterwards (float16,
+    ~200 KB/image at 49x2048 — the whole Flickr7k corpus is ~1.4 GB).
+    The encoder already computes in bfloat16, so the f16 round-trip is
+    lossless for practical purposes.
 
-    def __init__(self, encode_fn, encoder_params):
+    ``device=True`` additionally keeps the cache HBM-resident: new rows
+    are appended to an on-device f16 table (one small host->device
+    transfer when first encoded) and warm batches are served by a
+    jitted gather+cast — zero host->device feature traffic from epoch 2
+    on.  Besides the bandwidth, this sidesteps the axon relay image's
+    plugin bug where every host->device transfer's bytes leak in host
+    RSS (CLAUDE.md): the host path re-leaks ~batch-bytes every step,
+    the device path only the one f16 append per new image."""
+
+    def __init__(self, encode_fn, encoder_params, device: bool = False):
         self._encode = encode_fn
         self._params = encoder_params
         self._store: dict = {}
+        self._device = device
+        self._row: dict = {}      # key -> row index in the device table
+        self._table = None        # jnp [N, ...] float16, append-grown
+        self._gather = None
 
-    def featurize(self, get_images, indices, namespace: str = "") -> np.ndarray:
+    def _append_device(self, rows_np):
+        import jax
+        import jax.numpy as jnp
+
+        fresh = jnp.asarray(rows_np)  # [n, ...] f16, one small transfer
+        self._table = (fresh if self._table is None
+                       else jnp.concatenate([self._table, fresh], axis=0))
+        if self._gather is None:
+            self._gather = jax.jit(
+                lambda t, r: t[r].astype(jnp.float32)
+            )
+
+    def featurize(self, get_images, indices, namespace: str = ""):
         """``get_images`` is a zero-arg callable so a warm cache never
         materializes (or device-round-trips) the image batch at all.
         ``namespace`` separates index spaces when one trainer mixes
@@ -76,8 +101,19 @@ class FeatureCache:
             # distinct shape (30 s-10 min each through the relay)
             images = np.asarray(get_images())
             fresh = np.asarray(self._encode(self._params, images))
+            new_rows = []
             for i in missing:
+                if keys[i] in self._store:  # duplicate index in batch
+                    continue
                 self._store[keys[i]] = fresh[i].astype(np.float16)
+                if self._device:
+                    self._row[keys[i]] = len(self._row)
+                    new_rows.append(self._store[keys[i]])
+            if self._device and new_rows:
+                self._append_device(np.stack(new_rows))
+        if self._device:
+            rows = np.asarray([self._row[k] for k in keys], np.int32)
+            return self._gather(self._table, rows)  # device f32 [B, ...]
         return np.stack(
             [self._store[k] for k in keys]
         ).astype(np.float32)
@@ -210,8 +246,10 @@ class CaptionTrainer:
         )
         self.checkpointer = BestCheckpointer(config.checkpoint_dir)
         self.feature_cache = (
-            FeatureCache(self._encode, encoder_params)
-            if config.cache_features and encoder_params is not None else None
+            FeatureCache(self._encode, encoder_params,
+                         device=config.cache_features_device)
+            if (config.cache_features or config.cache_features_device)
+            and encoder_params is not None else None
         )
         self.global_step = 0
 

@@ -341,6 +341,59 @@ class TestFeatureCache:
             h1[1]["train_loss_epoch"], h0[1]["train_loss_epoch"], rtol=1e-6
         )
 
+    def test_device_cache_matches_host_cache(self, tmp_path):
+        """cache_features_device: the HBM-resident gather path must
+        serve bit-identical features to the host path (same f16
+        storage), across cold batches, warm epochs, appends, and
+        duplicate indices."""
+        from captionax.train.harness import FeatureCache
+
+        def fake_encode(params, images):
+            imgs = np.asarray(images)
+            rng = np.random.RandomState(int(imgs.sum()) % 100000)
+            return rng.randn(len(imgs), R, NF).astype(np.float32)
+
+        host = FeatureCache(fake_encode, {"fake": 0})
+        dev = FeatureCache(fake_encode, {"fake": 0}, device=True)
+        rng = np.random.RandomState(0)
+        imgs1 = rng.randint(0, 255, (B, 16, 16, 3), np.uint8)
+        imgs2 = rng.randint(0, 255, (B, 16, 16, 3), np.uint8)
+
+        idx1 = np.arange(B)
+        idx_dup = np.asarray([0] * B)         # duplicate indices
+        idx2 = np.arange(B, 2 * B)            # append after first build
+        for imgs, idx in ((imgs1, idx1), (imgs1, idx_dup),
+                          (imgs2, idx2), (imgs1, idx1)):  # warm re-read
+            a = host.featurize(lambda: imgs, idx)
+            b = np.asarray(dev.featurize(lambda: imgs, idx))
+            np.testing.assert_array_equal(a, b)
+        assert dev._table.shape[0] == 2 * B  # no duplicate rows
+
+    def test_trainer_device_cache_matches(self, model, tmp_path):
+        def run(flag):
+            cfg = TrainConfig(max_epochs=2, batch_size=B, lr=1e-3,
+                              checkpoint_dir=str(tmp_path / f"d{flag}"),
+                              log_every=100, cache_features=not flag,
+                              cache_features_device=flag)
+            fresh = jax.tree_util.tree_map(jnp.array, model)
+            trainer = CaptionTrainer(fresh, "hypernet", cfg, FakeVocab(V),
+                                     encoder_params={"fake": 0},
+                                     run_name="fcd")
+
+            def fake_encode(params, images):
+                imgs = np.asarray(images)
+                rng = np.random.RandomState(int(imgs.sum()) % 100000)
+                return rng.randn(len(imgs), R, NF).astype(np.float32)
+
+            trainer._encode = fake_encode
+            trainer.feature_cache._encode = fake_encode
+            return trainer.fit(lambda epoch: self._image_batches())
+
+        hd, hh = run(True), run(False)
+        np.testing.assert_allclose(
+            hd[1]["train_loss_epoch"], hh[1]["train_loss_epoch"], rtol=1e-6
+        )
+
 
 class TestMeshTraining:
     """CaptionTrainer(mesh=...) — the full harness path behind the
