@@ -33,6 +33,13 @@ def main(argv=None):
                         help="pickled small style classifier params "
                              "(cli/train_classifier --kind small --save); "
                              "required with --mixup / --style-aux")
+    parser.add_argument("--init-hn", type=str, default="",
+                        help="warm-start the hypernet from a train_init "
+                             "distillation checkpoint dir (the reference's "
+                             "pretrain-then-finetune flow, train_init.py:"
+                             "70-123); composed with --style-aux it is the "
+                             "measured best style-separation recipe "
+                             "(BASELINE.md seed-sensitivity paragraph)")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -46,6 +53,12 @@ def main(argv=None):
     k1, k2 = jax.random.split(key)
     params = build_hypernet_model(model_cfg, vocab, k1)
     params = maybe_load_glove(params, data_cfg, vocab, model_cfg.embed_size)
+    if args.init_hn:
+        # only the hn is distilled; the decoder keeps this run's init
+        from captionax.train.checkpoint import restore_checkpoint
+
+        params["hn"] = restore_checkpoint(args.init_hn, like=params)["hn"]
+        print(f"hypernet warm-started from {args.init_hn}")
     encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
 
     clf_params = None

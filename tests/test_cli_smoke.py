@@ -320,6 +320,16 @@ class TestLongTailClis:
 
         main(args(tmp_path))
 
+    def test_train_hypernet_init_hn(self, tmp_path):
+        # the pretrain-then-finetune flow: distill (train_init), then
+        # warm-start hypernet training from the distilled checkpoint
+        from captionax.cli.train_hypernet import main as train_hn
+        from captionax.cli.train_init import main as train_init
+
+        train_init(args(tmp_path))
+        train_hn(args(tmp_path, "--init-hn", str(tmp_path / "ckpt"),
+                      "--checkpoint-dir", str(tmp_path / "ckpt2")))
+
     def test_test_all(self, tmp_path):
         from captionax.cli.test_all import main
 
