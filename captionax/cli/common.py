@@ -178,3 +178,27 @@ def maybe_load_glove(params, data_cfg: DataConfig, vocab, embed_size: int):
         target = params["decoder"] if "decoder" in params else params
         target["embed"] = mat
     return params
+
+
+def make_feature_fn(encode, train_cfg):
+    """Per-batch featurizer for the CLIs that do not run through
+    CaptionTrainer (train_labert / train_catr / train_lstm): honors
+    --cache-features / --cache-features-device with the same
+    FeatureCache the harness uses (encoder runs once per image; the
+    device variant serves warm batches from an HBM-resident f16 table —
+    BASELINE.md measured ~7x warm-epoch speedup through the relay)."""
+    if not (train_cfg.cache_features or train_cfg.cache_features_device):
+        return lambda batch: encode(batch["images"])
+    from captionax.train.harness import FeatureCache
+
+    cache = FeatureCache(lambda _p, imgs: encode(imgs), {},
+                         device=train_cfg.cache_features_device)
+
+    def feature_fn(batch):
+        if "indices" in batch:
+            return cache.featurize(
+                lambda: batch["images"], batch["indices"]
+            )
+        return encode(batch["images"])
+
+    return feature_fn

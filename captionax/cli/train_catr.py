@@ -18,6 +18,7 @@ import numpy as np
 
 from captionax.cli.common import (
     build_encoder,
+    make_feature_fn,
     make_parser,
     parse_configs,
     resolve_flickr_data,
@@ -68,6 +69,7 @@ def main(argv=None):
     logger = MetricLogger(train_cfg.checkpoint_dir, args.run_name)
 
     encode = jax.jit(lambda imgs: encoder_cnn(encoder_params, preprocess_images(imgs)))
+    featurize = make_feature_fn(encode, train_cfg)
 
     # --pipe N: both DETR halves as N-stage GPipe schedules
     # (parallel/pipeline.py pipelined_catr_stacks) in the TRAIN step —
@@ -115,7 +117,7 @@ def main(argv=None):
             data.batches(train_idx, train_cfg.batch_size, style="factual",
                          seed=train_cfg.seed + epoch)
         ):
-            feats = encode(batch["images"])
+            feats = featurize(batch)
             state, loss = train_step(state, feats, batch["captions"])
             step += 1
             if step % train_cfg.log_every == 0:
@@ -132,7 +134,7 @@ def main(argv=None):
         data.batches(val_idx, train_cfg.batch_size, style="factual",
                      seed=0, shuffle=False, drop_remainder=False)
     ):
-        feats = encode(sample["images"])
+        feats = featurize(sample)
         ids = greedy_fn(state.params, feats)
         quality.add_batch_ids(np.asarray(sample["captions"]), np.asarray(ids))
         n_val += len(ids)

@@ -16,6 +16,7 @@ import numpy as np
 
 from captionax.cli.common import (
     build_encoder,
+    make_feature_fn,
     make_parser,
     parse_configs,
     resolve_flickr_data,
@@ -92,6 +93,7 @@ def main(argv=None):
                              factor=train_cfg.plateau_factor)
 
     encode = jax.jit(lambda imgs: encoder_cnn(encoder_params, preprocess_images(imgs)))
+    featurize = make_feature_fn(encode, train_cfg)
 
     # --pipe N: run the BERT stack as an N-stage GPipe schedule
     # (parallel/pipeline.py) in the TRAIN step — the loss is identical to
@@ -173,7 +175,7 @@ def main(argv=None):
             data.batches(train_idx, train_cfg.batch_size, style="factual",
                          seed=train_cfg.seed + epoch)
         )):
-            feats = encode(batch["images"])
+            feats = featurize(batch)
             caps, types = pad_for_seq(
                 batch["captions"], batch["token_type_ids"], feats.shape[1]
             )
@@ -188,7 +190,7 @@ def main(argv=None):
             data.batches(val_idx, train_cfg.batch_size, style="factual",
                          seed=0, shuffle=False, drop_remainder=False)
         )):
-            feats = encode(batch["images"])
+            feats = featurize(batch)
             vals.append(float(val_step(
                 state.params, feats, batch["captions"],
                 batch["token_type_ids"], jax.random.PRNGKey(0),
@@ -209,7 +211,7 @@ def main(argv=None):
     if sample is None:
         print("no validation batches; skipping mask-predict smoke")
         return state
-    feats = encode(sample["images"])
+    feats = featurize(sample)
     ids = mask_predict_decode(state.params, feats, mask_id, length=12)
     quality = CaptionMetrics(vocab)
     quality.add_batch_ids(np.asarray(sample["captions"]), np.asarray(ids))

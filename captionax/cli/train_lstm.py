@@ -21,6 +21,7 @@ import numpy as np
 
 from captionax.cli.common import (
     build_encoder,
+    make_feature_fn,
     make_parser,
     parse_configs,
     resolve_flickr_data,
@@ -105,6 +106,7 @@ def main(argv=None):
 
         encode = encode_regions
 
+    featurize = make_feature_fn(encode, train_cfg)
     tx = make_optimizer(train_cfg.lr, train_cfg.grad_clip)
     state = create_train_state(params, tx)
     logger = MetricLogger(train_cfg.checkpoint_dir, args.run_name)
@@ -126,7 +128,8 @@ def main(argv=None):
                          seed=train_cfg.seed + epoch)
         ):
             batch = dict(batch)
-            batch["features"] = encode(batch.pop("images"))
+            batch["features"] = featurize(batch)
+            batch.pop("images", None)
             db = {k: batch[k] for k in ("features", "captions")}
             state, loss = train_step(state, db)
             step += 1
@@ -152,7 +155,8 @@ def main(argv=None):
                      seed=0, shuffle=False, drop_remainder=False)
     ):
         batch = dict(batch)
-        batch["features"] = encode(batch.pop("images"))
+        batch["features"] = featurize(batch)
+        batch.pop("images", None)
         db = {k: batch[k] for k in ("features", "captions")}
         logits, targets = eval_forward(state.params, db)
         val_losses.append(float(cross_entropy_loss(logits, targets)))
