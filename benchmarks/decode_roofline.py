@@ -1,0 +1,171 @@
+"""Roofline of `fused_beam_search` — the flagship kernel — with the
+FLOP/byte ledger split into MODEL math vs LAYOUT math, measured stage
+shares (profiling ablations), and the embedding-gather A/B.
+
+The published statement this produces (BASELINE.md "Fused decode kernel
+roofline"): the kernel's MXU work is ~X TFLOP/s (~Y% of the 197 TFLOP/s
+bf16 peak) but the kernel is **VPU-bound on the top-3 selection scan**
+— the `noembed` ablation (removing the one-hot embedding GEMM entirely,
+the cheapest any embedding gather could ever be) moves end-to-end time
+by ~0, so MXU MFU is not the binding roofline; the binding resource is
+VPU passes over [rows, V] logits.
+
+FLOP ledger at production dims (B=1024, k=3, V->9728, E=H=FO=200,
+R=49, 50 steps, 3072 beam rows):
+- MODEL math (what the reference computes too):
+  logits     2*H*Vp            per row-step
+  attention  2*H*H (att2) + VPU tanh/softmax/weighted-sum
+  GRU        2*(E+FO)*3H + 2*H*3H
+- LAYOUT math (TPU-native bookkeeping, free on the MXU):
+  embed one-hot  2*Vp*E   per row-step
+  beam perm/selection matmuls  [rows,rows] x [rows, H|T]
+
+Usage:
+    python benchmarks/decode_roofline.py [--iters 6] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from captionax.core.runtime import setup_runtime
+
+setup_runtime()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from captionax.models import decoder as dec
+from captionax.models.hypernet import hypernet_init
+from captionax.ops.decode_kernel import fused_beam_search
+from captionax.train.steps import synthesize_theta
+
+NF, FO, E, H, V, R, B, K, STEPS = 2048, 200, 200, 200, 9684, 49, 1024, 3, 50
+VP = 9728  # V rounded to 128
+PEAK_BF16_TFLOPS = 197.0   # v5e spec
+PEAK_VPU_TOPS = 4.0        # f32 vector-op class (8 lanes*128*~2GHz*2)
+HBM_GBPS = 819.0
+
+
+def flop_ledger():
+    rows = B * K
+    row_steps = rows * STEPS
+    model = {
+        "logits": 2 * H * VP,
+        "att2": 2 * H * H,
+        "gru_gi": 2 * (E + FO) * 3 * H,
+        "gru_gh": 2 * H * 3 * H,
+    }
+    layout = {
+        "embed_onehot": 2 * VP * E,
+    }
+    # per-tile bookkeeping (block 24 images = 72 rows): regroup P matmuls
+    # [72,72]x[72,3] x2, perm [72,72]x[72,H], hist/win [72,72]x[72,T] x2
+    tile_rows, T = 72, STEPS + 1
+    n_tiles = (B + 23) // 24
+    book_per_tile_step = 2 * tile_rows * tile_rows * (3 + 3 + H + T + T)
+    ledger = {
+        "model_flops_per_row_step": sum(model.values()),
+        "layout_flops_per_row_step": sum(layout.values()),
+        "model_flops_total": sum(model.values()) * row_steps,
+        "layout_flops_total": (sum(layout.values()) * row_steps
+                               + book_per_tile_step * n_tiles * STEPS),
+        "detail_per_row_step": {**model, **layout},
+    }
+    # VPU top-3 scan: ~12 elementwise/reduce passes over [rows, VP] f32
+    ledger["vpu_top3_ops_total"] = 12 * rows * VP * STEPS
+    # bytes: weight tables resident (read once per tile), feats/att1 in,
+    # tokens out — the kernel's whole point is logits never touch HBM
+    w_bytes = (VP * E + H * VP + (E + FO) * 3 * H + H * 3 * H) * 2  # bf16
+    io_bytes = (B * R * (NF + 0) * 0  # raw feats encoded outside
+                + rows * R * (FO + H) * 2      # feats + att1 bf16
+                + rows * H * 4 + B * (T + 3) * 4)
+    ledger["hbm_bytes_per_call"] = w_bytes * ((B + 23) // 24) + io_bytes
+    return ledger
+
+
+def timed(fn, *args, iters=6):
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0][:2])  # barrier via fetch
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0][:2])
+    return (time.perf_counter() - t0) / iters
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "_parity", "decode_roofline.json"))
+    args = p.parse_args(argv)
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "decoder": dec.attention_gru_init(k1, NF, FO, E, H, V),
+        "hn": hypernet_init(k2, hyper_emb=E, input_dim=E + FO, hidden_dim=H),
+    }
+    features = jax.random.normal(k3, (B, R, NF))
+    style_id = jnp.asarray(4, jnp.int32)
+
+    def run(ablate):
+        @jax.jit
+        def fn(p, f, s):
+            theta = synthesize_theta(p, s)
+            return fused_beam_search(p["decoder"], f, gru_params=theta,
+                                     max_steps=STEPS, ablate=ablate).tokens
+        return timed(fn, params, features, style_id, iters=args.iters)
+
+    res = {"dims": {"B": B, "k": K, "V": V, "VP": VP, "E": E, "H": H,
+                    "R": R, "steps": STEPS}}
+    res["wall_s"] = {}
+    for ab in ("", "noembed", "nologz", "notop3", "nomm", "nocell", "nobook"):
+        res["wall_s"][ab or "full"] = run(ab)
+        print(f"{ab or 'full':<10} {res['wall_s'][ab or 'full']*1e3:8.1f} ms",
+              flush=True)
+
+    led = flop_ledger()
+    full = res["wall_s"]["full"]
+    res["ledger"] = led
+    res["rates"] = {
+        "captions_per_s": B / full,
+        "model_tflops": led["model_flops_total"] / full / 1e12,
+        "model_mfu_pct": led["model_flops_total"] / full / 1e12
+        / PEAK_BF16_TFLOPS * 100,
+        "all_mxu_tflops": (led["model_flops_total"]
+                           + led["layout_flops_total"]) / full / 1e12,
+        "all_mxu_mfu_pct": (led["model_flops_total"]
+                            + led["layout_flops_total"]) / full / 1e12
+        / PEAK_BF16_TFLOPS * 100,
+        "vpu_top3_tops": led["vpu_top3_ops_total"] / full / 1e12,
+        "vpu_top3_frac_of_peak": led["vpu_top3_ops_total"] / full / 1e12
+        / PEAK_VPU_TOPS,
+        "hbm_gb_per_call": led["hbm_bytes_per_call"] / 1e9,
+        "hbm_time_ms_at_peak": led["hbm_bytes_per_call"] / HBM_GBPS / 1e6,
+    }
+    # the embedding A/B: noembed removes the one-hot GEMM entirely — the
+    # cheapest any gather could be — so full - noembed bounds every
+    # possible embedding optimization
+    res["embed_attack"] = {
+        "full_ms": full * 1e3,
+        "noembed_ms": res["wall_s"]["noembed"] * 1e3,
+        "max_possible_gain_ms": (full - res["wall_s"]["noembed"]) * 1e3,
+        "embed_onehot_tflop_total":
+            led["detail_per_row_step"]["embed_onehot"] * B * K * STEPS / 1e12,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res["rates"], indent=1))
+    print(json.dumps(res["embed_attack"], indent=1))
+
+
+if __name__ == "__main__":
+    main()

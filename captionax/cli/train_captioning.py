@@ -4,9 +4,21 @@ Equivalent of ``python hypernet.py`` / ``train_captioning.py``
 (/root/reference/hypernet.py:26-183, train_captioning.py): a resnet
 global-feature encoder with a trainable projection, a cell-level
 GRU/LSTM decoder (t=0 consumes the image feature, later.py:227-490)
-whose recurrent-cell weights come from the hypernet, and a **decaying
-sampling probability** ``p <- p * 0.9995`` toward full teacher forcing
-floor 0.25 (hypernet.py:149-150; note the reference's inverted naming).
+whose recurrent-cell weights — for EVERY layer when ``--num-layers``
+> 1, the reference default (hypernet.py:62-92) — come from the v0
+hypernet (base E->4E->8E, bucketed heads), with a **decaying
+teacher-forcing probability** ``p <- p * 0.9995`` from 1.0 toward the
+0.25 floor (hypernet.py:137-150): training starts fully teacher-forced
+and anneals to 75% multinomial-sampled steps.
+
+Reference quirks kept (each is the trained reference's behavior):
+- ``fc_out`` is excluded from the hypernet's generated tensor set AND
+  from the optimizer (hypernet.py:62-68, 116-123) — it stays frozen at
+  its random init.  Deviate with ``--train-fc-out``.
+- the loss is mean CE over ALL positions incl. pads — no ignore_index
+  (hypernet.py:145).  Deviate with ``--masked-loss``.
+- DecoderGRU draws a fresh uniform-random h0 every forward
+  (later.py:393); DecoderRNN (LSTM) zero-inits (later.py:259).
 
     python -m captionax.cli.train_captioning --synthetic --cell gru
 """
@@ -27,11 +39,55 @@ from captionax.data.loader import BatchLoader
 from captionax.data.transforms import preprocess_images
 from captionax.models.cell_decoders import cell_decoder_forward, cell_decoder_init
 from captionax.models.encoder import resnet_apply
-from captionax.models.hypernet import hypernet_apply, hypernet_init
+from captionax.models.hypernet import hypernet_v0_apply, hypernet_v0_init
 from captionax.models.layers import embedding
 from captionax.train.logging import MetricLogger
 from captionax.train.losses import cross_entropy_loss
 from captionax.train.state import create_train_state, get_lr, make_optimizer
+
+
+def build_capgru_model(key, E, H, V, cell="gru", num_layers=1):
+    """params pytree for the non-attention hypernet captioner.  The
+    decoder's own cell tensors exist but are shadowed by generated theta
+    (the reference overwrites them every forward, hypernet.py:112-113)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    gates = 3 if cell == "gru" else 4
+    return {
+        "proj": {  # the trainable resnet fc (hypernet.py:44-48)
+            "w": jax.random.normal(k1, (2048, E)) * 0.02,
+            "b": jnp.zeros((E,)),
+        },
+        "decoder": cell_decoder_init(k2, E, H, V, cell=cell,
+                                     num_layers=num_layers),
+        "hn": hypernet_v0_init(k3, hyper_emb=E, input_dim=E, hidden_dim=H,
+                               gates=gates, num_layers=num_layers),
+    }
+
+
+def capgru_loss(params, feats2048, captions, style_id, rng, *, cell,
+                teacher_forcing, pad_id):
+    """Reference training_step objective (hypernet.py:126-151) as a pure
+    fn: theta = hn(embed[style]); CE of the multi-layer cell decoder."""
+    feat = feats2048 @ params["proj"]["w"] + params["proj"]["b"]
+    style_embed = embedding(params["decoder"]["embed"], style_id)
+    thetas = hypernet_v0_apply(params["hn"], style_embed)
+    logits = cell_decoder_forward(
+        params["decoder"], feat, captions, cell=cell,
+        teacher_forcing=teacher_forcing, rng=rng,
+        cell_params=thetas, random_h0=(cell == "gru"),
+    )
+    return cross_entropy_loss(logits, captions, pad_id=pad_id)
+
+
+def freeze_fc_out(grads):
+    """Zero the fc_out grads: the reference never puts fc_out in the
+    optimizer (hypernet.py:116-123), so it stays at init."""
+    g = dict(grads)
+    g["decoder"] = dict(grads["decoder"])
+    g["decoder"]["fc_out"] = jax.tree_util.tree_map(
+        jnp.zeros_like, grads["decoder"]["fc_out"]
+    )
+    return g
 
 
 def main(argv=None):
@@ -40,6 +96,12 @@ def main(argv=None):
     parser.add_argument("--tf-decay", type=float, default=0.9995)
     parser.add_argument("--tf-floor", type=float, default=0.25)
     parser.add_argument("--encoder-weights", type=str, default="")
+    parser.add_argument("--train-fc-out", action="store_true",
+                        help="deviation: also train fc_out (the reference "
+                             "freezes it at random init, hypernet.py:116-123)")
+    parser.add_argument("--masked-loss", action="store_true",
+                        help="deviation: ignore pad positions in the CE "
+                             "(the reference passes no ignore_index)")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -47,21 +109,14 @@ def main(argv=None):
     V = len(vocab)
     data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
     E, H = model_cfg.embed_size, model_cfg.hidden_size
-    print(f"cell={args.cell} vocab={V} images={len(data)}")
+    print(f"cell={args.cell} layers={model_cfg.num_layers} vocab={V} "
+          f"images={len(data)}")
 
     key = jax.random.PRNGKey(train_cfg.seed)
-    k1, k2, k3 = jax.random.split(key, 3)
-    gates = 3 if args.cell == "gru" else 4
-    params = {
-        "proj": {  # the trainable resnet fc (hypernet.py:41-48)
-            "w": jax.random.normal(k1, (2048, E)) * 0.02,
-            "b": jnp.zeros((E,)),
-        },
-        "decoder": cell_decoder_init(k2, E, H, V, cell=args.cell),
-        "hn": hypernet_init(k3, hyper_emb=E, input_dim=E, hidden_dim=H,
-                            gates=gates),
-    }
-    encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
+    params = build_capgru_model(key, E, H, V, cell=args.cell,
+                                num_layers=model_cfg.num_layers)
+    encoder_params = build_encoder(model_cfg, jax.random.fold_in(key, 1),
+                                   args.encoder_weights)
     encode = jax.jit(
         lambda imgs: resnet_apply(encoder_params, preprocess_images(imgs))
         .mean(axis=(1, 2))
@@ -72,6 +127,7 @@ def main(argv=None):
     logger = MetricLogger(train_cfg.checkpoint_dir, args.run_name)
 
     cell = args.cell
+    pad_id = vocab.w2i["<pad>"] if args.masked_loss else None
 
     def make_step(teacher_forcing: bool):
         # two separate jitted programs, selected on host per step — one
@@ -79,18 +135,12 @@ def main(argv=None):
         # painfully slowly through the remote-compile service
         @jax.jit
         def train_step(state, feats2048, captions, style_id, rng):
-            def loss_fn(p):
-                feat = feats2048 @ p["proj"]["w"] + p["proj"]["b"]
-                style_embed = embedding(p["decoder"]["embed"], style_id)
-                theta = hypernet_apply(p["hn"], style_embed)
-                logits = cell_decoder_forward(
-                    p["decoder"], feat, captions, cell=cell,
-                    teacher_forcing=teacher_forcing, rng=rng,
-                    cell_params=theta,
-                )
-                return cross_entropy_loss(logits, captions)
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            loss, grads = jax.value_and_grad(capgru_loss)(
+                state.params, feats2048, captions, style_id, rng,
+                cell=cell, teacher_forcing=teacher_forcing, pad_id=pad_id,
+            )
+            if not args.train_fc_out:
+                grads = freeze_fc_out(grads)
             return state.apply_gradients(grads, tx), loss
 
         return train_step
@@ -99,9 +149,10 @@ def main(argv=None):
     step_sample = make_step(False)
 
     train_idx, _, _ = data.splits(seed=train_cfg.seed)
-    # decaying sampling probability (reference inverted naming: this is
-    # the chance of the no-TF multinomial path)
-    sample_prob = 1.0
+    # teacher_forcing_proba: TF with prob p; p <- p * 0.9995 while
+    # p > 0.25 (hypernet.py:137-150) — training starts fully
+    # teacher-forced and anneals to 25% TF / 75% multinomial sampling
+    tf_proba = 1.0
     step = 0
     import numpy as np
 
@@ -112,18 +163,19 @@ def main(argv=None):
                          seed=train_cfg.seed + epoch)
         ):
             feats = encode(batch["images"])
-            fn = step_tf if rng_py.rand() > sample_prob else step_sample
+            fn = step_tf if rng_py.binomial(1, tf_proba) else step_sample
             state, loss = fn(
                 state, feats, batch["captions"], batch["style_id"],
                 jax.random.PRNGKey(step),
             )
-            sample_prob = max(sample_prob * args.tf_decay, args.tf_floor)
+            if tf_proba > args.tf_floor:
+                tf_proba *= args.tf_decay
             step += 1
             if step % train_cfg.log_every == 0:
                 logger.log({"train_loss": float(loss),
-                            "sample_prob": sample_prob, "epoch": epoch}, step)
+                            "tf_proba": tf_proba, "epoch": epoch}, step)
         print(f"epoch {epoch} loss {float(loss):.4f} lr {get_lr(state):.2e} "
-              f"p_sample {sample_prob:.3f}")
+              f"p_tf {tf_proba:.3f}")
     return state
 
 

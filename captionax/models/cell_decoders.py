@@ -67,14 +67,24 @@ def cell_decoder_init(
 
 
 def _step(params, cell: str, x, state, cell_params=None):
-    cp = params["cell"] if cell_params is None else cell_params
+    """One multi-layer cell step.  ``cell_params`` may be a single theta
+    dict (layer 0 generated, extras from ``params['layers']``) or a
+    list/tuple of per-layer thetas (the non-attention hypernet generates
+    EVERY layer's weights, hypernet.py:62-92).  Extra layers feed the
+    running hidden state as both input and state — the reference quirk
+    ``layer(hidden_state, hidden_state)`` (later.py:412-414)."""
+    if isinstance(cell_params, (list, tuple)):
+        layer_ps = list(cell_params)
+    else:
+        layer_ps = [params["cell"] if cell_params is None else cell_params]
+        layer_ps.extend(params.get("layers", ()))
     if cell == "gru":
-        h = gru_cell(cp, x, state)
-        for extra in params.get("layers", ()):
+        h = gru_cell(layer_ps[0], x, state)
+        for extra in layer_ps[1:]:
             h = gru_cell(extra, h, h)
         return h, h
-    h, c = lstm_cell(cp, x, state)
-    for extra in params.get("layers", ()):
+    h, c = lstm_cell(layer_ps[0], x, state)
+    for extra in layer_ps[1:]:
         h, c = lstm_cell(extra, h, (h, c))
     return h, (h, c)
 
@@ -138,14 +148,20 @@ def cell_decoder_infer(
     cell: str = "gru",
     end_id: int = 2,
     cell_params: Optional[Dict] = None,
+    random_h0: bool = False,
+    rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Greedy inference (later.py DecoderRNN.infer): feature first, then
-    argmax feedback.  Returns ids [B, max_len]."""
+    argmax feedback.  Returns ids [B, max_len].  ``random_h0`` keeps the
+    DecoderGRU quirk of a uniform-random initial hidden state even at
+    inference (later.py:464)."""
     B = features.shape[0]
     H = params["fc_out"]["w"].shape[0]
-    state0 = (
-        jnp.zeros((B, H)) if cell == "gru" else (jnp.zeros((B, H)), jnp.zeros((B, H)))
-    )
+    if random_h0 and rng is not None:
+        h0 = jax.random.uniform(rng, (B, H))
+    else:
+        h0 = jnp.zeros((B, H))
+    state0 = h0 if cell == "gru" else (h0, jnp.zeros((B, H)))
 
     def body(carry, t):
         state, tok, done = carry

@@ -110,6 +110,98 @@ def hypernet_apply(hn: Params, style_embed: jnp.ndarray) -> Dict[str, jnp.ndarra
     }
 
 
+# ---------------------------------------------------------------- v0 ---
+# The ORIGINAL (non-attention) hypernet from /root/reference/hypernet.py:
+# a different architecture from the attention one above — base is
+# E -> 4E -> 8E (hypernet.py:55-60, LeakyReLU after both), heads are
+# bucketed against h = 8E with divisor 8 (hypernet.py:70-89), and one
+# head exists per tensor of EVERY cell layer of the captioner
+# (named_parameters minus embed.weight / fc_out.{weight,bias}) — the
+# reference default runs num_layers=2 (train_captioning.py:61 via
+# add_model_specific_args, hypernet.py:209), so layer-1 weights are
+# generated too.  fc_out is excluded from generation AND from the
+# optimizer (hypernet.py:116-123) — it stays frozen at init, a kept
+# reference quirk the training CLIs replicate via a gradient mask.
+
+
+def _v0_head_dims(w_size: int, h: int) -> Tuple[int, ...]:
+    """hypernet.py:70-89 bucketing, h = 8 * embed.
+
+    Unlike the attention variant, the smallest bucket here is
+    well-formed: Linear(h, w) > LeakyReLU > Linear(w, w)."""
+    if w_size < h:
+        return (h, w_size, w_size)
+    if w_size // 8 < h:
+        return (h, h, w_size)
+    return (h, w_size // 8, w_size)
+
+
+def v0_layer_sizes(
+    input_dim: int, hidden_dim: int, gates: int = 3, num_layers: int = 1
+) -> List[List[Tuple[str, int]]]:
+    """Generated tensor sizes per cell layer, reference order: the first
+    cell takes input_dim, extra layers (hypernet.py num_layers>1,
+    later.py:377-379) take hidden_dim."""
+    out = [gru_tensor_sizes(input_dim, hidden_dim, gates)]
+    for _ in range(1, num_layers):
+        out.append(gru_tensor_sizes(hidden_dim, hidden_dim, gates))
+    return out
+
+
+def hypernet_v0_init(
+    key,
+    hyper_emb: int,
+    input_dim: int,
+    hidden_dim: int,
+    gates: int = 3,
+    num_layers: int = 1,
+    dtype=jnp.float32,
+) -> Params:
+    """The reference's original HyperNet (hypernet.py:55-92): base
+    E -> 4E -> 8E, one bucketed head per generated cell tensor across
+    all ``num_layers`` cell layers (gates=3 GRU / 4 LSTM)."""
+    h = 8 * hyper_emb
+    per_layer = v0_layer_sizes(input_dim, hidden_dim, gates, num_layers)
+    n_heads = sum(len(layer) for layer in per_layer)
+    keys = jax.random.split(key, n_heads + 1)
+    heads = []
+    ki = 1
+    for layer in per_layer:
+        heads.append({
+            name: mlp_init(keys[ki + i], _v0_head_dims(w, h), dtype)
+            for i, (name, w) in enumerate(layer)
+        })
+        ki += len(layer)
+    return {
+        "base": mlp_init(keys[0], (hyper_emb, 4 * hyper_emb, h), dtype),
+        "layers": heads,
+    }
+
+
+def _theta_from_flat(flat: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    g = flat["b_ih"].shape[-1]
+    return {
+        "w_ih": flat["w_ih"].reshape(g, flat["w_ih"].shape[-1] // g),
+        "w_hh": flat["w_hh"].reshape(g, flat["w_hh"].shape[-1] // g),
+        "b_ih": flat["b_ih"],
+        "b_hh": flat["b_hh"],
+    }
+
+
+def hypernet_v0_apply(
+    hn: Params, style_embed: jnp.ndarray
+) -> List[Dict[str, jnp.ndarray]]:
+    """style_embed [hyper_emb] -> list of per-layer cell theta pytrees
+    (hypernet.py:104-114 forward, minus the parameter-flipping — theta is
+    passed to ``cell_decoder_forward(..., cell_params=thetas)``)."""
+    base = mlp(hn["base"], style_embed, final_act=True)
+    out = []
+    for heads in hn["layers"]:
+        flat = {name: mlp(heads[name], base) for name in heads}
+        out.append(_theta_from_flat(flat))
+    return out
+
+
 def hypernet_apply_flat(hn: Params, style_embed: jnp.ndarray) -> jnp.ndarray:
     """Concatenated flat theta (the reference's heads_out, for
     distillation-style losses in train_init equivalents)."""

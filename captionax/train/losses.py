@@ -14,11 +14,17 @@ import jax.numpy as jnp
 
 
 def cross_entropy_loss(
-    logits: jnp.ndarray, targets: jnp.ndarray, pad_id: int = 0
+    logits: jnp.ndarray, targets: jnp.ndarray, pad_id=0
 ) -> jnp.ndarray:
-    """logits [..., V] float, targets [...] int.  Mean CE over non-pad."""
+    """logits [..., V] float, targets [...] int.  Mean CE over non-pad.
+
+    ``pad_id=None`` disables masking (mean over ALL positions) — the
+    non-attention hypernet trainer's objective, which passes no
+    ignore_index (/root/reference/hypernet.py:145)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if pad_id is None:
+        return nll.mean()
     mask = (targets != pad_id).astype(nll.dtype)
     denom = jnp.maximum(mask.sum(), 1.0)
     return (nll * mask).sum() / denom
