@@ -1,0 +1,366 @@
+"""Measured evidence for the combined Flickr+CC hypernet
+(/root/reference/train_hyper_combine.py:42-338, test_all.py:40-100):
+loss trajectory, the 5-loader test_all report, and a 4-way
+style/domain separation study (factual / humour / romantic / CC).
+
+Phases (all user-surface: the CLIs do the training/eval):
+- train   — cli.train_hyper_combine on styled-fixture Flickr (real
+            captions, synthetic images) + the real 200_conceptual
+            corpus with windows/9gag/twincities held out (the same
+            seen/zero-shot split as cc_gru_vs_hypernet.py);
+- testall — cli.test_all over the 5 loaders (3 Flickr styles, CC test
+            split, CC zero-shot domains) from the trained checkpoint;
+- probe   — small 4-class caption classifier on ground-truth text
+            (f/h/r/CC — the style_classifier_all.py label set) with
+            held-out accuracy;
+- sep     — decode the Flickr test images under each of the 4
+            conditionings (pseudo-domains 'f'/'h'/'r' + seen CC
+            domains) and classify -> 4-way separation matrix,
+            divergence, per-conditioning beam quality;
+- report.
+
+Usage:
+    python benchmarks/combine_study.py --phase all [--epochs 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cc_gru_vs_hypernet import ZS_DOMAINS, split_files  # noqa: E402
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_parity")
+CKPT = os.path.join(OUT_DIR, "ckpt_combine")
+PROBE_PATH = os.path.join(OUT_DIR, "combine_probe.pkl")
+LABELS4 = ("factual", "humour", "romantic", "CC")
+
+
+def common_flags(args, seen_p, zs_p):
+    return [
+        "--synthetic", "--styled-fixture",
+        "--synthetic-images", str(args.images),
+        "--vocab-path", "/root/reference/data/vocab.pkl",
+        "--factual-captions", "/root/reference/data/factual_train.txt",
+        "--cc-captions", seen_p,
+        "--cc-oneshot-captions", zs_p,
+        "--domain-scheme", args.scheme,
+        "--batch-size", str(args.batch_size),
+        "--max-epochs", str(args.epochs),
+        "--seed", str(args.seed),
+        "--lr", str(args.lr),
+        "--checkpoint-dir", CKPT,
+        "--cache-features",
+    ]
+
+
+def phase_train(args):
+    from captionax.cli.train_hyper_combine import main as train_main
+
+    seen_p, zs_p = split_files(OUT_DIR)
+    t0 = time.time()
+    history = train_main(common_flags(args, seen_p, zs_p))
+    out = {"history": {k: {m: float(v) for m, v in h.items()}
+                       for k, h in history.items()},
+           "train_seconds": time.time() - t0}
+    with open(os.path.join(OUT_DIR, "combine_train.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("train done", out["train_seconds"], "s")
+
+
+def phase_testall(args):
+    from captionax.cli.test_all import main as testall_main
+
+    seen_p, zs_p = split_files(OUT_DIR)
+    res = testall_main(common_flags(args, seen_p, zs_p))
+    res = {split: {k: float(v) for k, v in r.items()}
+           for split, r in res.items()}
+    with open(os.path.join(OUT_DIR, "combine_testall.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    for split, r in res.items():
+        print(split, {k: round(v, 4) for k, v in r.items()
+                      if "cider" in k or "bleu1" in k or "completed" in k},
+              flush=True)
+
+
+def _build_data(args):
+    from captionax.core.vocab import load_vocab_pickle
+    from captionax.data.flickr import load_factual_captions
+    from captionax.data.synthetic import synthetic_flickr_style
+
+    vocab = load_vocab_pickle("/root/reference/data/vocab.pkl")
+    factual = load_factual_captions("/root/reference/data/factual_train.txt")
+    data = synthetic_flickr_style(
+        num_images=args.images, vocab=vocab, max_len=25,
+        factual_lines=[c for _, c in factual], styled_fixture=True)
+    return vocab, data
+
+
+def phase_probe(args):
+    """Small 4-class probe on ground-truth captions, held-out acc."""
+    import jax
+
+    from captionax.data.cc import load_cc_captions
+    from captionax.models.classifiers import (
+        small_style_classifier_apply,
+        small_style_classifier_init,
+    )
+    from captionax.train.state import create_train_state, make_optimizer
+    import jax.numpy as jnp
+    import random as _r
+
+    vocab, data = _build_data(args)
+    seen_p, _ = split_files(OUT_DIR)
+    T = 25
+    rng = _r.Random(args.seed)
+    X, y = [], []
+    for i in range(len(data)):
+        for s, style in enumerate(("factual", "humour", "romantic")):
+            enc = data.caption_ids(style, i, rng=rng)[:T]
+            row = np.zeros((T,), np.int32)
+            row[: len(enc)] = enc
+            X.append(row)
+            y.append(s)
+    cc_rows = load_cc_captions(seen_p)
+    rng.shuffle(cc_rows)
+    for _, cap, _ in cc_rows[: len(data)]:
+        enc = np.asarray(vocab.encode(cap)[:T], np.int32)
+        row = np.zeros((T,), np.int32)
+        row[: len(enc)] = enc
+        X.append(row)
+        y.append(3)
+    X = np.stack(X)
+    y = np.asarray(y, np.int32)
+    rs = np.random.RandomState(args.seed)
+    perm = rs.permutation(len(X))
+    cut = len(X) // 10
+    Xtr, ytr = X[perm[cut:]], y[perm[cut:]]
+    Xte, yte = X[perm[:cut]], y[perm[:cut]]
+
+    params = small_style_classifier_init(jax.random.PRNGKey(args.seed),
+                                         len(vocab), 64, 4)
+    tx = make_optimizer(2e-3, 5.0)
+    state = create_train_state(params, tx)
+
+    @jax.jit
+    def step(state, ids, labels):
+        def loss_fn(p):
+            probs = small_style_classifier_apply(p, ids)
+            return -jnp.mean(
+                jnp.log(probs[jnp.arange(len(labels)), labels] + 1e-9))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads, tx), loss
+
+    B = 256
+    acc = 0.0
+    for epoch in range(args.probe_epochs):
+        p2 = rs.permutation(len(Xtr))
+        for s in range(0, len(p2) - B, B):
+            state, loss = step(state, Xtr[p2[s:s + B]], ytr[p2[s:s + B]])
+        pred = np.asarray(
+            small_style_classifier_apply(state.params, Xte)).argmax(-1)
+        acc = float((pred == yte).mean())
+        print(f"probe epoch {epoch}: held-out acc {acc:.4f}", flush=True)
+    host = jax.tree_util.tree_map(np.asarray, state.params)
+    with open(PROBE_PATH, "wb") as f:
+        pickle.dump(host, f)
+    with open(os.path.join(OUT_DIR, "combine_probe.json"), "w") as f:
+        json.dump({"held_out_acc": acc, "n_test": int(len(yte)),
+                   "chance": 0.25}, f)
+    print(f"saved {PROBE_PATH} (held-out acc {acc:.4f})")
+
+
+def phase_sep(args):
+    """4-way separation: decode Flickr test images under each
+    conditioning, classify with the 4-class probe."""
+    import jax
+
+    from captionax.cli.common import build_encoder, build_hypernet_model
+    from captionax.core.config import ModelConfig
+    from captionax.data.cc import domain_list
+    from captionax.data.combine import style_histograms
+    from captionax.data.domains import DomainEmbedder
+    from captionax.data.transforms import preprocess_images
+    from captionax.decode.search import beam_search
+    from captionax.models.classifiers import small_style_classifier_apply
+    from captionax.models.encoder import encoder_cnn
+    from captionax.models.hypernet import hypernet_apply
+    from captionax.train.checkpoint import restore_checkpoint
+    from captionax.eval.metrics import CaptionMetrics
+
+    seen_p, _ = split_files(OUT_DIR)
+    vocab, data = _build_data(args)
+    cc_domains = domain_list(seen_p)
+    model_cfg = ModelConfig(vocab_size=len(vocab))
+    embedder = DomainEmbedder(
+        args.scheme, vocab, cc_domains, hyper_emb=model_cfg.hyper_emb,
+        cap_path=seen_p, zero_shot_domains=list("fhr"))
+    if args.scheme.startswith("histograme"):
+        embedder.table.update(
+            {k: np.asarray(v, np.float32)
+             for k, v in style_histograms(data, vocab).items()})
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = build_hypernet_model(model_cfg, vocab, k1,
+                                  hyper_emb=embedder.hyper_emb)
+    params["domain_emb"] = embedder.init_params(k3)
+    params = restore_checkpoint(CKPT, like=params)
+    encoder_params = build_encoder(model_cfg, k2)
+    with open(PROBE_PATH, "rb") as f:
+        probe = pickle.load(f)
+
+    encode = jax.jit(lambda im: encoder_cnn(encoder_params,
+                                            preprocess_images(im)))
+    beam_fn = jax.jit(lambda p, f_, th: beam_search(
+        p, f_, k=3, max_steps=args.max_steps, gru_params=th))
+
+    _, _, test_idx = data.splits(seed=args.seed)
+    test_idx = list(test_idx)[: args.sep_images]
+    B = args.batch_size
+    feats = []
+    for s in range(0, len(test_idx), B):
+        chunk = test_idx[s:s + B]
+        imgs = np.stack([data.image(i) for i in chunk])
+        if len(chunk) < B:
+            imgs = np.concatenate(
+                [imgs, np.zeros((B - len(chunk),) + imgs.shape[1:],
+                                imgs.dtype)])
+        feats.append(np.asarray(encode(imgs))[: len(chunk)])
+    feats = np.concatenate(feats)
+
+    # conditionings: 3 Flickr pseudo-domains + N seen CC domains
+    conds = [("factual", "f", 0), ("humour", "h", 1), ("romantic", "r", 2)]
+    cc_pick = cc_domains[:: max(1, len(cc_domains) // args.cc_conds)][
+        : args.cc_conds]
+    conds += [(f"cc:{d}", d, 3) for d in cc_pick]
+
+    T = 25
+    caps_by = {}
+    for name, dom, _cls in conds:
+        emb = embedder.embed(params["domain_emb"],
+                             np.asarray(embedder.host_vector(dom)))
+        theta = hypernet_apply(params["hn"], emb)
+        toks = []
+        for s in range(0, len(test_idx), B):
+            f_ = feats[s:s + B]
+            if len(f_) < B:
+                f_ = np.concatenate(
+                    [f_, np.zeros((B - len(f_),) + f_.shape[1:], f_.dtype)])
+            res = beam_fn(params["decoder"], f_, theta)
+            toks.append(np.asarray(res.tokens)[: len(feats[s:s + B])])
+        caps_by[name] = np.concatenate(toks)[: len(test_idx)]
+        print(f"decoded {name}", flush=True)
+
+    out = {"matrix": {}, "per_cond_acc": {}, "images": len(test_idx),
+           "cc_conditionings": cc_pick}
+    correct = total = 0
+    for name, dom, cls in conds:
+        ids = np.zeros((len(test_idx), T), np.int32)
+        raw = caps_by[name][:, 1:]
+        ids[:, : min(T, raw.shape[1])] = raw[:, :T]
+        pred = np.asarray(small_style_classifier_apply(probe, ids)).argmax(-1)
+        row = [float((pred == k).mean()) for k in range(4)]
+        out["matrix"][name] = row
+        out["per_cond_acc"][name] = row[cls]
+        correct += int((pred == cls).sum())
+        total += len(pred)
+        print(f"{name}: classified f/h/r/CC = "
+              + "/".join(f"{v:.3f}" for v in row), flush=True)
+    out["overall_acc"] = correct / max(total, 1)
+    out["chance"] = 0.25
+
+    names = [c[0] for c in conds[:3]] + [conds[3][0]]
+    div = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            diff = (caps_by[names[i]] != caps_by[names[j]]).any(axis=1)
+            div[f"{names[i]}-vs-{names[j]}"] = float(diff.mean())
+    out["caption_divergence"] = div
+
+    import random as _r
+
+    rng = _r.Random(args.seed)
+    out["beam_quality"] = {}
+    for s, style in enumerate(("factual", "humour", "romantic")):
+        q = CaptionMetrics(vocab)
+        refs = np.zeros((len(test_idx), T), np.int32)
+        for j, i in enumerate(test_idx):
+            enc = data.caption_ids(style, i, rng=rng)[:T]
+            refs[j, : len(enc)] = enc
+        q.add_batch_ids(refs, caps_by[style])
+        sc = q.compute()
+        out["beam_quality"][style] = {k: round(float(v), 4)
+                                      for k, v in sc.items()
+                                      if k in ("bleu1", "cider")}
+    with open(os.path.join(OUT_DIR, "combine_sep.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in ("overall_acc", "per_cond_acc")}))
+
+
+def phase_report(args):
+    for name in ("combine_train", "combine_testall", "combine_probe",
+                 "combine_sep"):
+        p = os.path.join(OUT_DIR, f"{name}.json")
+        if os.path.exists(p):
+            d = json.load(open(p))
+            if name == "combine_train":
+                hist = d["history"]
+                last = hist[max(hist, key=int)]
+                print(f"train: {len(hist)} epochs, last "
+                      f"{ {k: round(v, 4) for k, v in last.items()} }, "
+                      f"{d['train_seconds']:.0f}s")
+            elif name == "combine_sep":
+                print("4-way separation:", round(d["overall_acc"], 4),
+                      {k: round(v, 3) for k, v in d["per_cond_acc"].items()})
+            elif name == "combine_probe":
+                print("probe held-out acc:", d["held_out_acc"])
+            else:
+                for split, r in d.items():
+                    print(split, {k: round(v, 4) for k, v in r.items()
+                                  if "cider" in k or "completed" in k})
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--images", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--scheme", default="embedding")
+    p.add_argument("--max-steps", type=int, default=20)
+    p.add_argument("--sep-images", type=int, default=192)
+    p.add_argument("--cc-conds", type=int, default=6)
+    p.add_argument("--probe-epochs", type=int, default=10)
+    p.add_argument("--phase", default="all",
+                   choices=["all", "train", "testall", "probe", "sep",
+                            "report"])
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"])
+    args = p.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from captionax.core.runtime import setup_runtime
+
+        setup_runtime()
+    os.makedirs(OUT_DIR, exist_ok=True)
+    phases = (["train", "testall", "probe", "sep", "report"]
+              if args.phase == "all" else [args.phase])
+    for ph in phases:
+        globals()[f"phase_{ph}"](args)
+
+
+if __name__ == "__main__":
+    main()

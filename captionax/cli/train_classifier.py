@@ -63,22 +63,50 @@ def main(argv=None):
     data = resolve_flickr_data(data_cfg, vocab, train_cfg.max_len)
     key = jax.random.PRNGKey(train_cfg.seed)
 
+    # 90/10 held-out split (by image for styles, by row for domains) so
+    # every kind reports a final held-out accuracy — the reference never
+    # publishes one (bert_text_classifier.py logs val acc to W&B only)
     if args.kind == "domain":
         rows = load_cc_captions(data_cfg.cc_captions)
         domains = sorted({d for _, _, d in rows})
         dom_id = {d: i for i, d in enumerate(domains)}
         num_class = len(domains)
-        examples = [
+        all_ex = [
             (np.array(vocab.encode(cap)[: train_cfg.max_len]), dom_id[d])
             for _, cap, d in rows
         ]
+        rs = np.random.RandomState(train_cfg.seed)
+        perm = rs.permutation(len(all_ex))
+        cut = max(1, len(all_ex) // 10)
+        examples = [all_ex[i] for i in perm[cut:]]
+        heldout = [all_ex[i] for i in perm[:cut]]
     else:
         num_class = {"style3": 3, "style4": 4, "small": 3}.get(args.kind, 2)
         import random as _r
 
         rng = _r.Random(train_cfg.seed)
-        examples = list(_style_examples(data, vocab, range(len(data)), rng))
-    print(f"kind={args.kind} classes={num_class} examples={len(examples)}")
+        rs = np.random.RandomState(train_cfg.seed)
+        perm = rs.permutation(len(data))
+        cut = max(1, len(data) // 10)
+        examples = list(_style_examples(data, vocab, perm[cut:], rng))
+        heldout = list(_style_examples(data, vocab, perm[:cut], rng))
+        if args.kind == "style4":
+            # 4th class: Conceptual Captions text, label 3
+            # (style_classifier_all.py:41-45 {'f':0,'h':1,'r':2,'CC':3})
+            import os
+
+            assert os.path.exists(data_cfg.cc_captions), (
+                "--kind style4 needs --cc-captions (the CC class)")
+            cc_ex = [
+                (np.array(vocab.encode(cap)[: train_cfg.max_len]), 3)
+                for _, cap, _ in load_cc_captions(data_cfg.cc_captions)
+            ]
+            ccut = max(1, len(cc_ex) // 10)
+            cperm = rs.permutation(len(cc_ex))
+            examples += [cc_ex[i] for i in cperm[ccut:]]
+            heldout += [cc_ex[i] for i in cperm[:ccut]]
+    print(f"kind={args.kind} classes={num_class} examples={len(examples)} "
+          f"heldout={len(heldout)}")
 
     if args.kind == "small":
         params = small_style_classifier_init(key, V, model_cfg.embed_size, num_class)
@@ -112,13 +140,26 @@ def main(argv=None):
     T = train_cfg.max_len
 
     if args.kind == "essence":
-        # pairs: same image across styles (label 1) vs different (label 0)
+        # pairs: same image across styles (label 1) vs different (label 0);
+        # held-out images (the 10% cut above) never appear in training pairs
         import random as _r
 
         rng = _r.Random(0)
+        train_imgs = [int(i) for i in perm[cut:]]
+        held_imgs = [int(i) for i in perm[:cut]]
+
+        def make_pairs(imgs, prng):
+            a, b, y = [], [], []
+            for i in imgs:
+                same = prng.random() < 0.5
+                j = i if same else prng.choice(imgs)
+                a.append(pad_to(data.caption_ids("factual", i, rng=prng), T))
+                b.append(pad_to(data.caption_ids("humour", j, rng=prng), T))
+                y.append(1 if (same or j == i) else 0)
+            return np.stack(a), np.stack(b), np.array(y, np.int32)
 
         def batches(epoch):
-            idx = list(range(len(data)))
+            idx = list(train_imgs)
             rng.shuffle(idx)
             for s in range(0, len(idx) - train_cfg.batch_size, train_cfg.batch_size):
                 chunk = idx[s : s + train_cfg.batch_size]
@@ -153,8 +194,15 @@ def main(argv=None):
                 if gstep % train_cfg.log_every == 0:
                     logger.log({"train_loss": float(loss)}, gstep)
             print(f"epoch {epoch} loss {float(loss):.4f}")
+        ha, hb, hy = make_pairs(held_imgs, _r.Random(train_cfg.seed + 7))
+        hp = np.asarray(essence_classifier_apply(
+            state.params, ha, (ha != 0).astype(jnp.float32),
+            hb, (hb != 0).astype(jnp.float32)))
+        hacc = float((hp.argmax(-1) == hy).mean())
+        logger.log({"heldout_acc": hacc})
+        print(f"heldout pair accuracy: {hacc:.4f} ({len(hy)} pairs)")
         _maybe_save(args.save, state.params)
-        return state
+        return state, hacc
 
     import random as _r
 
@@ -191,8 +239,27 @@ def main(argv=None):
                 logger.log({"train_loss": float(loss)}, gstep)
         acc = correct / max(total, 1)
         print(f"epoch {epoch} loss {float(loss):.4f} sampled-acc {acc:.3f}")
+
+    # held-out accuracy (fixed padded batch shape to reuse one compile)
+    Bs = train_cfg.batch_size
+    correct = total = 0
+    for s in range(0, len(heldout), Bs):
+        chunk = heldout[s : s + Bs]
+        ids = np.zeros((Bs, T), np.int32)
+        for i, c in enumerate(chunk):
+            ids[i] = pad_to(np.asarray(c[0]), T)
+        labels = np.array([c[1] for c in chunk], np.int32)
+        probs = np.asarray(
+            apply_fn(state.params, ids, (ids != 0).astype(jnp.float32))
+        )[: len(chunk)]
+        correct += int((probs.argmax(-1) == labels).sum())
+        total += len(labels)
+    hacc = correct / max(total, 1)
+    logger.log({"heldout_acc": hacc})
+    print(f"heldout accuracy: {hacc:.4f} ({total} examples, "
+          f"chance {1.0 / num_class:.3f})")
     _maybe_save(args.save, state.params)
-    return state
+    return state, hacc
 
 
 def _maybe_save(path: str, params) -> None:

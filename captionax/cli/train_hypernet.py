@@ -30,9 +30,11 @@ def main(argv=None):
     parser.add_argument("--encoder-weights", type=str, default="",
                         help="torchvision resnet state_dict (.pt) to fold")
     parser.add_argument("--style-classifier", type=str, default="",
-                        help="pickled small style classifier params "
-                             "(cli/train_classifier --kind small --save); "
-                             "required with --mixup / --style-aux")
+                        help="pickled style classifier params, small OR "
+                             "bert (cli/train_classifier --kind small|"
+                             "style3 --save) — the probe kind is "
+                             "auto-detected from the pytree; required "
+                             "with --mixup / --style-aux")
     parser.add_argument("--init-hn", type=str, default="",
                         help="warm-start the hypernet from a train_init "
                              "distillation checkpoint dir (the reference's "

@@ -146,6 +146,58 @@ def small_style_classifier_apply_soft(params, token_probs):
     return jax.nn.softmax(linear(params["fc"], x), axis=-1)
 
 
+def bert_trunk_apply_soft(params, token_probs, attention_mask=None,
+                          num_heads=None):
+    """Differentiable trunk over token DISTRIBUTIONS [B, T, V]: the
+    expected word embedding replaces the hard lookup (same construction
+    as small_style_classifier_apply_soft).  Lets the mixup / style-aux
+    losses (hypernet_attention.py:157-176 scores generated captions with
+    the trained BertClassifer) back-propagate through a BERT probe — the
+    reference's string round-trip through the HF tokenizer passes no
+    gradient there."""
+    B, T, _ = token_probs.shape
+    heads = num_heads or max(params["word_emb"].shape[1] // 64, 1)
+    x = (
+        jnp.einsum("btv,vh->bth", token_probs, params["word_emb"])
+        + params["pos_emb"][:T][None]
+        + params["type_emb"][0][None, None]
+    )
+    x = layer_norm(params["emb_ln"], x)
+    if attention_mask is None:
+        additive = jnp.zeros((B, 1, 1, T), jnp.float32)
+    else:
+        additive = (1.0 - attention_mask.astype(jnp.float32))[:, None, None, :] * -10000.0
+    x = bert_encoder(params["encoder"], x, heads, additive)
+    pooled = jnp.tanh(linear(params["pooler"], x[:, 0]))
+    return x, pooled
+
+
+def style_classifier_apply_soft(params, token_probs):
+    """BertClassifer head over soft tokens (frozen-probe use: no
+    dropout).  -> softmax class probabilities [B, num_class]."""
+    _, pooled = bert_trunk_apply_soft(params["bert"], token_probs)
+    h = jax.nn.leaky_relu(linear(params["head"]["l0"], pooled))
+    return jax.nn.softmax(linear(params["head"]["l1"], h), axis=-1)
+
+
+def classifier_soft_apply_fn(classifier_params):
+    """Pick the soft-token apply for a classifier params pytree: the
+    BERT family carries a 'bert' trunk, the small StyleClassifer doesn't.
+    Used by the mixup/style-aux steps so --style-classifier may point at
+    either kind (the reference's mixup scores with the trained
+    BertClassifer, hypernet_attention.py:157-176)."""
+    return (style_classifier_apply_soft if "bert" in classifier_params
+            else small_style_classifier_apply_soft)
+
+
+def classifier_ids_apply_fn(classifier_params):
+    """Hard-token counterpart (separation probes, eval)."""
+    if "bert" in classifier_params:
+        return lambda p, ids: style_classifier_apply(
+            p, ids, (ids != 0).astype(jnp.float32))
+    return small_style_classifier_apply
+
+
 def bert_trunk_from_hf_state_dict(state_dict, hidden: int = 768,
                                   num_layers: int = 12) -> Dict:
     """Convert a HuggingFace BertModel state_dict into our trunk pytree."""

@@ -243,9 +243,13 @@ def make_hypernet_mixup_steps(
     jit) at production dims — CLAUDE.md.  The returned function is
     marked ``_prejitted``; callers must NOT wrap it in an outer
     ``jax.jit``."""
-    from captionax.models.classifiers import small_style_classifier_apply_soft
+    from captionax.models.classifiers import classifier_soft_apply_fn
     from captionax.train.losses import mixup_style_target
 
+    # the probe may be the small StyleClassifer or a trained BERT
+    # classifier (the reference's mixup scores with BertClassifer,
+    # hypernet_attention.py:157-176) — dispatch on the params pytree
+    clf_apply = classifier_soft_apply_fn(classifier_params)
     sid = jnp.asarray(style_ids, jnp.int32)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
@@ -269,7 +273,7 @@ def make_hypernet_mixup_steps(
                 gru_params=theta_mix,
             )
             probs = jax.nn.softmax(logits_mix, axis=-1)
-            pred = small_style_classifier_apply_soft(classifier_params, probs)
+            pred = clf_apply(classifier_params, probs)
             target = mixup_style_target(coeff, missing)
             style_loss = jnp.mean((pred - target[None, :]) ** 2)
             return alpha * ce + (1.0 - alpha) * style_loss, (ce, style_loss)
@@ -304,7 +308,7 @@ def make_hypernet_mixup_steps(
             gru_params=theta_mix,
         )
         probs = jax.nn.softmax(logits_mix, axis=-1)
-        pred = small_style_classifier_apply_soft(classifier_params, probs)
+        pred = clf_apply(classifier_params, probs)
         target = mixup_style_target(coeff, missing)
         return jnp.mean((pred - target[None, :]) ** 2)
 
@@ -357,7 +361,8 @@ def make_hypernet_styleaux_steps(
     put 70% of the gradient on the style term).
 
     The gradient path reuses the differentiable soft-token classifier
-    built for mixup (classifiers.small_style_classifier_apply_soft).
+    built for mixup (small or BERT probe, dispatched on the params
+    pytree — classifiers.classifier_soft_apply_fn).
     ``style_ids`` maps class index 0/1/2 -> the style_id values seen in
     batches (vocab rows (4, 3, 6) by default, incl. the reference's
     'humour'-><unk>=3 quirk; (0, 1, 2) for dedicated-style-token
@@ -368,8 +373,9 @@ def make_hypernet_styleaux_steps(
     by linearity) plus combine+apply, for the axon relay whose AOT
     helper wedges on fused two-scan grad graphs at production dims.
     The returned function is ``_prejitted``; don't wrap it in jax.jit."""
-    from captionax.models.classifiers import small_style_classifier_apply_soft
+    from captionax.models.classifiers import classifier_soft_apply_fn
 
+    clf_apply = classifier_soft_apply_fn(classifier_params)
     sid = jnp.asarray(style_ids, jnp.int32)
 
     def aux_loss(params, batch, rng):
@@ -379,7 +385,7 @@ def make_hypernet_styleaux_steps(
             gru_params=theta,
         )
         probs = jax.nn.softmax(logits_fr, axis=-1)
-        pred = small_style_classifier_apply_soft(classifier_params, probs)
+        pred = clf_apply(classifier_params, probs)
         cls = jnp.argmax(sid == batch["style_id"])
         return -jnp.mean(jnp.log(pred[:, cls] + 1e-9))
 
