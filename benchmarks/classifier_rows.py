@@ -1,0 +1,94 @@
+"""Train every reference classifier kind to a measured held-out
+accuracy row (VERDICT r2 weak #5: the BERT-family classifiers were
+parity-tested but never trained).
+
+Kinds (cli/train_classifier): style3 (bert_text_classifier.py), style4
+(style_classifier_all.py, 4th class = CC), domain
+(cc_domain_classifier.py), essence (bert_essence_classifier.py,
+same-image pairs), small (classifier.py — the separation probe).
+
+Data: real captions (FlickrStyle styled fixture + 200_conceptual seen
+split), real vocab.  BERT trunks are random-init (no pretrained
+downloads in this image) at reference dims by default — the rows
+measure what the TRAINED classifier reaches on caption text, the same
+role it plays in the reference's mixup loss.
+
+Usage:
+    python benchmarks/classifier_rows.py [--kinds style3,style4,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cc_gru_vs_hypernet import split_files  # noqa: E402
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_parity")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--kinds", default="small,style3,style4,domain,essence")
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--images", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--bert-hidden", type=int, default=768)
+    p.add_argument("--bert-layers", type=int, default=12)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default="default", choices=["default", "cpu"])
+    args = p.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from captionax.core.runtime import setup_runtime
+
+        setup_runtime()
+
+    from captionax.cli.train_classifier import main as clf_main
+
+    seen_p, _ = split_files(OUT_DIR)
+    rows = {}
+    for kind in args.kinds.split(","):
+        flags = [
+            "--kind", kind, "--synthetic", "--styled-fixture",
+            "--synthetic-images", str(args.images),
+            "--vocab-path", "/root/reference/data/vocab.pkl",
+            "--factual-captions", "/root/reference/data/factual_train.txt",
+            "--cc-captions", seen_p,
+            "--batch-size", str(args.batch_size),
+            "--max-epochs", str(args.epochs),
+            "--lr", str(args.lr), "--max-len", "25",
+            "--seed", str(args.seed),
+            "--bert-hidden", str(args.bert_hidden),
+            "--bert-layers", str(args.bert_layers),
+            "--checkpoint-dir", os.path.join(OUT_DIR, f"ckpt_clf_{kind}"),
+        ]
+        if kind in ("small", "style3"):
+            flags += ["--save", os.path.join(OUT_DIR, f"clf_{kind}.pkl")]
+        if kind == "small":
+            flags += ["--embed-size", "64", "--lr", "2e-3"]
+        t0 = time.time()
+        _, hacc = clf_main(flags)
+        rows[kind] = {"heldout_acc": round(float(hacc), 4),
+                      "seconds": round(time.time() - t0, 1),
+                      "epochs": args.epochs,
+                      "dims": ("embed64" if kind == "small" else
+                               f"bert {args.bert_hidden}x{args.bert_layers} "
+                               "(random init)")}
+        print(kind, rows[kind], flush=True)
+    with open(os.path.join(OUT_DIR, "classifier_rows.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from parity_quality import OUT_DIR, build_data, feature_path  # noqa: E402
 
 STYLES = ("factual", "humour", "romantic")
-E, H, LAYERS = 200, 150, 2
+# Architecture preserved exactly (base E->4E->8E, divisor-8 bucketing,
+# num_layers=2, every quirk); dims HALVED from the reference __main__'s
+# (200, 150).  Why: at canonical dims the v0 head stack is ~2.78e9
+# params (~11.1 GB f32 — the w_ih head alone is Linear(11250, 90000) ~
+# 1.03e9 params, hypernet.py:85-89), so params + Adam moments = 33 GB,
+# which cannot fit the 16 GB v5e — nor the reference's own 2021-era GPU
+# (a 40 GB A100 would need ~44 GB with grads); and this image's single
+# host core would need ~10 h/side at f32 matvec bandwidth.  At
+# E=100/H=75 the same architecture is ~350M params and both sides
+# train in minutes; canonical-dims head shapes are unit-test-checked
+# arithmetically (tests/test_hypernet_v0.py::test_canonical_head_dims).
+E, H, LAYERS = 100, 75, 2
 
 
 def pooled_features(n_images: int) -> np.ndarray:
@@ -83,6 +94,12 @@ def phase_jax(args):
 
     setup_runtime()
     import jax
+
+    # full-f32 matmuls: the hypernet heads EMIT the GRU weights, so the
+    # TPU's default bf16-pass f32 dot precision perturbs theta itself
+    # (measured: default precision trains unstably — loss rises after
+    # epoch 0 — while the f32-matmul run tracks the torch-CPU oracle)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from captionax.cli.train_captioning import (
         build_capgru_model,
@@ -123,7 +140,8 @@ def phase_jax(args):
             loss, grads = jax.value_and_grad(capgru_loss)(
                 state.params, feats, caps, style_id, rng,
                 cell="gru", teacher_forcing=teacher_forcing, pad_id=None)
-            grads = freeze_fc_out(grads)
+            if not args.train_fc_out:
+                grads = freeze_fc_out(grads)
             return state.apply_gradients(grads, tx), loss
 
         return step
@@ -230,9 +248,12 @@ def phase_jax(args):
 class TorchV0:
     """Raw-torch rebuild of the reference HyperNet (hypernet.py:26-123)
     initialized from the captionax pytree: base + per-layer bucketed
-    heads + embed + frozen fc_out + trainable projection."""
+    heads + embed + frozen fc_out + trainable projection.
+    ``train_fc=True`` is the deviation pair of the jax side's
+    --train-fc-out (fc_out joins the optimizer)."""
 
-    def __init__(self, init):
+    def __init__(self, init, train_fc=False):
+        self.train_fc = train_fc
         import torch
 
         def from_mlp(p):
@@ -260,10 +281,13 @@ class TorchV0:
         self.proj.weight.data = torch.from_numpy(pw.T.copy())
         self.proj.bias.data = torch.from_numpy(
             np.asarray(init["proj"]["b"]).copy())
-        fw = np.asarray(init["decoder"]["fc_out"]["w"])
-        self.fc_w = torch.from_numpy(fw.copy())          # [H, V], frozen
-        self.fc_b = torch.from_numpy(
+        fw = np.asarray(init["decoder"]["fc_out"]["w"])  # [H, V]
+        self.fc = torch.nn.Linear(fw.shape[0], fw.shape[1])
+        self.fc.weight.data = torch.from_numpy(fw.T.copy())
+        self.fc.bias.data = torch.from_numpy(
             np.asarray(init["decoder"]["fc_out"]["b"]).copy())
+        self.fc_w = self.fc.weight.data.T  # kept views for readers
+        self.fc_b = self.fc.bias.data
 
     def trainable(self):
         ps = [p for lin in self.base for p in lin.parameters()]
@@ -272,7 +296,9 @@ class TorchV0:
                 ps.extend(p for lin in mlps for p in lin.parameters())
         ps.extend(self.embed.parameters())
         ps.extend(self.proj.parameters())
-        return ps  # fc_out deliberately absent (hypernet.py:116-123)
+        if self.train_fc:  # deviation pair of --train-fc-out
+            ps.extend(self.fc.parameters())
+        return ps  # fc_out absent by default (hypernet.py:116-123)
 
     def thetas(self, style_embed):
         import torch.nn.functional as TF
@@ -333,7 +359,7 @@ def torch_forward(m, thetas, feats2048, caps, teacher_forcing):
         h = functional_gru(thetas[0], x, h)
         for th in thetas[1:]:
             h = functional_gru(th, h, h)
-        out = h @ m.fc_w + m.fc_b
+        out = m.fc(h)
         outs.append(out)
     return torch.stack(outs, 1)
 
@@ -354,7 +380,7 @@ def torch_greedy(m, thetas, feats2048, max_len):
             h = functional_gru(thetas[0], x, h)
             for th in thetas[1:]:
                 h = functional_gru(th, h, h)
-            out = h @ m.fc_w + m.fc_b
+            out = m.fc(h)
             toks.append(out.argmax(dim=1))
         return torch.stack(toks, 1).numpy()
 
@@ -372,7 +398,7 @@ def phase_torch(args):
     with open(os.path.join(OUT_DIR, f"init_capgru{args.tag}.pkl"), "rb") as f:
         init = pickle.load(f)
     torch.manual_seed(args.seed)
-    m = TorchV0(init)
+    m = TorchV0(init, train_fc=args.train_fc_out)
     opt = torch.optim.Adam(m.trainable(), lr=args.lr)
     sched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, cooldown=2)
 
@@ -472,6 +498,12 @@ def main(argv=None):
     p.add_argument("--tf-decay", type=float, default=0.9995)
     p.add_argument("--tf-floor", type=float, default=0.25)
     p.add_argument("--greedy-len", type=int, default=20)
+    p.add_argument("--train-fc-out", action="store_true",
+                   help="deviation pair: BOTH sides put fc_out in the "
+                        "optimizer (the reference freezes it at random "
+                        "init — measured degenerate, CIDEr ~0 on both "
+                        "frameworks; this pair measures parity in the "
+                        "non-degenerate regime)")
     p.add_argument("--phase", default="all",
                    choices=["all", "jax", "torch", "report"])
     p.add_argument("--platform", default="default",

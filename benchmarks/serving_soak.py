@@ -44,6 +44,120 @@ def rss_mb() -> float:
     return float("nan")
 
 
+def guarded_soak(args, styles):
+    """Soak against SUPERVISED workers: bounded RSS across recycles,
+    zero client-visible errors is the pass criterion."""
+    import subprocess  # noqa: F401  (supervisor spawns workers)
+
+    from captionax.decode.supervise import RssSupervisor, proc_rss_mb
+
+    worker_argv = [
+        sys.executable, os.path.abspath(__file__), "--_worker",
+        "--port", str(args.port), "--window", str(args.window),
+        "--max-steps", str(args.max_steps), "--styles", args.styles,
+    ]
+    sup = RssSupervisor(worker_argv, args.rss_limit_mb)
+    sup_thread = threading.Thread(target=sup.run, daemon=True)
+    sup_thread.start()
+    # wait until the first worker serves
+    jpeg = open(os.path.join(os.path.dirname(__file__), os.pardir, "tests",
+                             "fixtures", "images", "photo_gradient.jpg"),
+                "rb").read()
+
+    def post(style):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{args.port}/caption?style={style}",
+            data=jpeg, headers={"Content-Type": "image/jpeg"},
+        )
+        with urllib.request.urlopen(req, timeout=1200) as r:
+            return json.loads(r.read())
+
+    t0 = time.time()
+    while True:
+        try:
+            post(styles[0])
+            break
+        except Exception:
+            if time.time() - t0 > 1800:
+                raise
+            time.sleep(2.0)
+    print(f"first request served after {time.time() - t0:.1f} s", flush=True)
+
+    stop = threading.Event()
+    lock = threading.Lock()
+    lats, errs = [], []
+
+    def client(ci):
+        j = 0
+        while not stop.is_set():
+            style = styles[(ci + j) % len(styles)]
+            t = time.time()
+            try:
+                post(style)
+            except Exception as e:
+                with lock:
+                    errs.append(repr(e))
+                continue
+            finally:
+                j += 1
+            with lock:
+                lats.append((time.time() - t) * 1e3)
+
+    threads = [threading.Thread(target=client, args=(ci,), daemon=True)
+               for ci in range(args.clients)]
+    soak_t0 = time.time()
+    for t in threads:
+        t.start()
+    samples = []
+    deadline = soak_t0 + args.minutes * 60
+    while time.time() < deadline:
+        time.sleep(args.interval)
+        with lock:
+            window, lats = lats, []
+            n_err = len(errs)
+        lat = np.asarray(window) if window else np.asarray([np.nan])
+        pid = sup.current.pid if sup.current else -1
+        s = {
+            "t_s": round(time.time() - soak_t0, 1),
+            "rps": round(len(window) / args.interval, 1),
+            "p50_ms": round(float(np.nanpercentile(lat, 50)), 1),
+            "p99_ms": round(float(np.nanpercentile(lat, 99)), 1),
+            "worker_rss_mb": round(proc_rss_mb(pid) or float("nan"), 1),
+            "recycles": sup.recycles,
+            "errors_total": n_err,
+        }
+        samples.append(s)
+        print(json.dumps(s), flush=True)
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+    sup.stop()
+    sup_thread.join(timeout=180)
+
+    rss_vals = [s["worker_rss_mb"] for s in samples
+                if np.isfinite(s["worker_rss_mb"])]
+    third = max(1, len(samples) // 3)
+    mean = lambda rows, k: float(np.mean([r[k] for r in rows]))
+    summary = {
+        "mode": "guarded",
+        "rss_limit_mb": args.rss_limit_mb,
+        "minutes": args.minutes,
+        "clients": args.clients,
+        "recycles": samples[-1]["recycles"] if samples else 0,
+        "worker_rss_max_mb": max(rss_vals) if rss_vals else None,
+        "rps_first_third": round(mean(samples[:third], "rps"), 1),
+        "rps_last_third": round(mean(samples[-third:], "rps"), 1),
+        "p99_last_third_ms": round(mean(samples[-third:], "p99_ms"), 1),
+        "errors_total": samples[-1]["errors_total"] if samples else 0,
+    }
+    print("SUMMARY", json.dumps(summary), flush=True)
+    out = args.out.replace(".json", "_guarded.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({"samples": samples, "summary": summary}, f, indent=1)
+    print(f"wrote {out}", flush=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--minutes", type=float, default=10.0)
@@ -52,12 +166,41 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=32)
     p.add_argument("--max-steps", type=int, default=50)
     p.add_argument("--styles", type=str, default="factual,humour,romantic")
+    p.add_argument("--rss-limit-mb", type=float, default=0.0,
+                   help="run the service in supervised worker processes "
+                        "(captionax.decode.supervise) rolled at this RSS "
+                        "bound — the guarded soak; 0 = the bare in-process "
+                        "soak that measures the relay leak itself")
+    p.add_argument("--port", type=int, default=18431)
+    p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--out", type=str,
                    default=os.path.join(os.path.dirname(__file__),
                                         "_parity", "serving_soak.json"))
     args = p.parse_args(argv)
 
     styles = args.styles.split(",")
+
+    if getattr(args, "_worker", False):
+        # supervised worker: same service as the bare soak, serving on
+        # the shared port with graceful SIGTERM drain
+        import numpy as np_  # noqa: F401
+
+        from captionax.decode.supervise import run_worker
+
+        service = build_service(args.window, args.max_steps, styles)
+
+        def warm(svc):
+            import numpy as np
+
+            svc.caption_array(
+                np.zeros((svc.image_size, svc.image_size, 3), np.uint8),
+                styles[0])
+
+        run_worker(service, "127.0.0.1", args.port, warmup=warm)
+        return
+
+    if args.rss_limit_mb > 0:
+        return guarded_soak(args, styles)
     jpeg = open(os.path.join(os.path.dirname(__file__), os.pardir, "tests",
                              "fixtures", "images", "photo_gradient.jpg"),
                 "rb").read()

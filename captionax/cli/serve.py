@@ -87,13 +87,63 @@ def make_serve_parser(doc=None):
     parser.add_argument("--window", type=int, default=64,
                         help="MicroBatcher compiled batch (the coalescing "
                              "window; requests/dispatch ceiling)")
+    parser.add_argument("--rss-limit-mb", type=float, default=0.0,
+                        help="supervise the server in a worker subprocess "
+                             "and roll it (SO_REUSEPORT zero-downtime "
+                             "handover) when its RSS crosses this bound — "
+                             "required ops guard under the axon relay's "
+                             "transfer leak (decode/supervise.py; 0 = off)")
+    parser.add_argument("--drain-grace", type=float, default=10.0,
+                        help="seconds a retiring worker keeps running its "
+                             "in-flight handler threads after SIGTERM")
+    parser.add_argument("--_worker", action="store_true",
+                        help=__import__("argparse").SUPPRESS)
     # --mesh-data comes from make_parser; here it shards each inference
     # dispatch over the data axis (service.py mesh note)
     return parser
 
 
+def _warmup(service):
+    """Pay the compile before the listener opens (the replacement worker
+    must be hot when it takes traffic; the on-disk compile cache makes
+    this seconds, not minutes, after the first worker)."""
+    import numpy as np
+
+    service.caption_array(
+        np.zeros((service.image_size, service.image_size, 3), np.uint8),
+        service.styles[0],
+    )
+
+
 def main(argv=None):
+    import sys
+
     args = make_serve_parser().parse_args(argv)
+
+    if args.rss_limit_mb > 0 and not getattr(args, "_worker", False):
+        # SUPERVISOR: run the actual server in a recyclable subprocess
+        from captionax.decode.supervise import RssSupervisor
+
+        if args.port == 0:
+            raise SystemExit("--rss-limit-mb needs a fixed --port "
+                             "(workers share it via SO_REUSEPORT)")
+        base = list(argv) if argv is not None else sys.argv[1:]
+        sup = RssSupervisor(
+            [sys.executable, "-m", "captionax.cli.serve", *base, "--_worker"],
+            args.rss_limit_mb,
+        )
+        print(f"supervising serve workers on :{args.port} "
+              f"(rss limit {args.rss_limit_mb:.0f} MB)", flush=True)
+        sup.run()
+        return
+
+    if getattr(args, "_worker", False):
+        from captionax.decode.supervise import run_worker
+
+        service = build_service(args)
+        run_worker(service, args.host, args.port,
+                   drain_grace_s=args.drain_grace, warmup=_warmup)
+        return
 
     from captionax.decode.service import make_http_server
 

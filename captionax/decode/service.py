@@ -286,7 +286,7 @@ class CaptionService:
 
 
 def make_http_server(service: CaptionService, host: str = "127.0.0.1",
-                     port: int = 0):
+                     port: int = 0, reuse_port: bool = False):
     """Build a ``ThreadingHTTPServer`` front-end for ``service``.
 
     Endpoints:
@@ -312,6 +312,18 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
         # clients in benchmarks/serving_http.py)
         request_queue_size = 128
         daemon_threads = True
+
+        def server_bind(self):
+            # SO_REUSEPORT lets a replacement worker bind the same port
+            # while this one drains — the rolling-restart handover
+            # (captionax.decode.supervise; the relay plugin's RSS leak
+            # makes recycling an operational requirement in this image)
+            if reuse_port:
+                import socket
+
+                self.socket.setsockopt(socket.SOL_SOCKET,
+                                       socket.SO_REUSEPORT, 1)
+            super().server_bind()
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: dict):

@@ -81,6 +81,16 @@ def encode_features(params: Params, raw_features: jnp.ndarray) -> jnp.ndarray:
     return linear(ff["l1"], x)
 
 
+def _attention_pre(att_params, att1, features, hidden):
+    """bahdanau_attention with the loop-invariant ``att1 = W_a f`` term
+    precomputed by the caller (identical math/op order otherwise)."""
+    att2 = linear(att_params["U_a"], hidden)[:, None, :]
+    scores = linear(att_params["v_a"], jnp.tanh(att1 + att2))
+    weights = jax.nn.softmax(scores, axis=1)
+    context = jnp.sum(weights * features, axis=1)
+    return context, weights[..., 0]
+
+
 def _extra_layers(params: Params, h: jnp.ndarray) -> jnp.ndarray:
     for cell in params.get("layers", ()):  # type: ignore[union-attr]
         h = gru_cell(cell, h, h)
@@ -122,6 +132,7 @@ def teacher_forced_hidden(
     gru_params: Optional[Dict] = None,
     remat: bool = False,
     unroll: int = 1,
+    hoist_att1: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The pure-teacher-forcing recurrence WITHOUT the vocab projection:
     -> (hs [B, T, H], attn [B, T, R]).
@@ -148,12 +159,28 @@ def teacher_forced_hidden(
     B, T, E = embeds.shape
     zero_embed = jnp.zeros((B, E), embeds.dtype)
     cell = params["gru"] if gru_params is None else gru_params
+    # hoist_att1=True moves the loop-invariant att1 = W_a f GEMM out of
+    # the scan (1 GEMM instead of T, like the decode kernel's
+    # _prep_features).  MEASURED NEGATIVE for TRAINING under remat
+    # (benchmarks/trainstep_roofline.py, B=1024 bf16: 21.5 ms hoisted vs
+    # 18.7 ms recomputed): the hoisted att1 is a 20 MB residual the
+    # backward must stream + accumulate gradients into per step, while
+    # the in-body recompute stays in VMEM and its weight gradient is a
+    # tiny [F,H] matrix.  Default False (recompute); the flag remains
+    # for the A/B.
+    att1 = (linear(params["attention"]["W_a"], features)
+            if hoist_att1 else None)
 
     def body(h, t):
         word_embed = jnp.where(
             t == 0, zero_embed, embeds[:, jnp.maximum(t - 1, 0)]
         )
-        context, attn = bahdanau_attention(params["attention"], features, h)
+        if hoist_att1:
+            context, attn = _attention_pre(params["attention"], att1,
+                                           features, h)
+        else:  # A/B baseline: recompute W_a f inside every step
+            context, attn = bahdanau_attention(params["attention"],
+                                               features, h)
         x = jnp.concatenate([word_embed, context], axis=-1)
         h = gru_cell(cell, x, h)
         h = _extra_layers(params, h)
