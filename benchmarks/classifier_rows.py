@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--bert-hidden", type=int, default=768)
     p.add_argument("--bert-layers", type=int, default=12)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tag", default="",
+                   help="suffix for the output json (e.g. 'scaled')")
     p.add_argument("--platform", default="default", choices=["default", "cpu"])
     args = p.parse_args(argv)
     if args.platform == "cpu":
@@ -70,10 +72,13 @@ def main(argv=None):
             "--seed", str(args.seed),
             "--bert-hidden", str(args.bert_hidden),
             "--bert-layers", str(args.bert_layers),
-            "--checkpoint-dir", os.path.join(OUT_DIR, f"ckpt_clf_{kind}"),
+            "--checkpoint-dir",
+            os.path.join(OUT_DIR, f"ckpt_clf_{kind}"
+                         + (f"_{args.tag}" if args.tag else "")),
         ]
         if kind in ("small", "style3"):
-            flags += ["--save", os.path.join(OUT_DIR, f"clf_{kind}.pkl")]
+            suffix = f"_{args.tag}" if args.tag else ""
+            flags += ["--save", os.path.join(OUT_DIR, f"clf_{kind}{suffix}.pkl")]
         if kind == "small":
             flags += ["--embed-size", "64", "--lr", "2e-3"]
         t0 = time.time()
@@ -85,7 +90,9 @@ def main(argv=None):
                                f"bert {args.bert_hidden}x{args.bert_layers} "
                                "(random init)")}
         print(kind, rows[kind], flush=True)
-    with open(os.path.join(OUT_DIR, "classifier_rows.json"), "w") as f:
+    out_name = (f"classifier_rows_{args.tag}.json" if args.tag
+                else "classifier_rows.json")
+    with open(os.path.join(OUT_DIR, out_name), "w") as f:
         json.dump(rows, f, indent=1)
     print(json.dumps(rows, indent=1))
 

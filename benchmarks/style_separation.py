@@ -129,7 +129,7 @@ def phase_gen(args):
         setup_runtime()
 
     from captionax.decode.search import beam_search
-    from captionax.models.classifiers import small_style_classifier_apply
+    from captionax.models.classifiers import classifier_ids_apply_fn
     from captionax.models.hypernet import hypernet_apply
 
     vocab, data = build_data(args.images)
@@ -137,8 +137,13 @@ def phase_gen(args):
     _, _, test_idx = data.splits(seed=args.seed)
     with open(args.hypernet, "rb") as f:
         params = pickle.load(f)
-    with open(CLF_PATH, "rb") as f:
+    # --clf-path swaps the probe (e.g. the trained BERT style3
+    # classifier from benchmarks/classifier_rows.py — the probe the
+    # reference's mixup loss uses, hypernet_attention.py:157-176);
+    # classifier_ids_apply_fn dispatches small vs BERT off the pytree.
+    with open(args.clf_path, "rb") as f:
         clf = pickle.load(f)
+    clf_apply = jax.jit(classifier_ids_apply_fn(clf))
 
     beam_fn = jax.jit(
         lambda p, f_, th: beam_search(p, f_, k=3, max_steps=args.max_steps,
@@ -173,13 +178,13 @@ def phase_gen(args):
 
     # classify generated captions (pad/crop to the probe's T)
     out = {"hypernet": args.hypernet, "images": len(test_idx),
-           "matrix": {}, "per_style_acc": {}}
+           "probe": args.clf_path, "matrix": {}, "per_style_acc": {}}
     correct = total = 0
     for s, style in enumerate(STYLES):
         ids = np.zeros((len(test_idx), T), np.int32)
         raw = caps_by_style[style][:, 1:]  # drop the leading start token
         ids[:, : min(T, raw.shape[1])] = raw[:, :T]
-        pred = np.asarray(small_style_classifier_apply(clf, ids)).argmax(-1)
+        pred = np.asarray(clf_apply(clf, ids)).argmax(-1)
         row = [float((pred == k).mean()) for k in range(3)]
         out["matrix"][style] = row
         out["per_style_acc"][style] = row[s]
@@ -600,6 +605,9 @@ def main(argv=None):
     p.add_argument("--images", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--clf-epochs", type=int, default=5)
+    p.add_argument("--clf-path", type=str, default=CLF_PATH,
+                   help="probe params pickle for the gen phase (small "
+                        "or BERT — auto-dispatched off the pytree)")
     p.add_argument("--hypernet", type=str,
                    default=os.path.join(OUT_DIR, "trained_hypernet_jax.pkl"))
     p.add_argument("--tag", type=str, default="")
