@@ -58,6 +58,7 @@ def common_flags(args, seen_p, zs_p):
         "--seed", str(args.seed),
         "--lr", str(args.lr),
         "--checkpoint-dir", CKPT,
+        "--encoder-depth", str(args.encoder_depth),
         "--cache-features",
     ]
 
@@ -200,7 +201,8 @@ def phase_sep(args):
     seen_p, _ = split_files(OUT_DIR)
     vocab, data = _build_data(args)
     cc_domains = domain_list(seen_p)
-    model_cfg = ModelConfig(vocab_size=len(vocab))
+    model_cfg = ModelConfig(vocab_size=len(vocab),
+                            encoder_depth=args.encoder_depth)
     embedder = DomainEmbedder(
         args.scheme, vocab, cc_domains, hyper_emb=model_cfg.hyper_emb,
         cap_path=seen_p, zero_shot_domains=list("fhr"))
@@ -341,6 +343,7 @@ def main(argv=None):
     p.add_argument("--sep-images", type=int, default=192)
     p.add_argument("--cc-conds", type=int, default=6)
     p.add_argument("--probe-epochs", type=int, default=10)
+    p.add_argument("--encoder-depth", type=int, default=152)
     p.add_argument("--phase", default="all",
                    choices=["all", "train", "testall", "probe", "sep",
                             "report"])

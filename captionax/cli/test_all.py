@@ -48,11 +48,16 @@ def main(argv=None):
         if os.path.exists(data_cfg.cc_oneshot_captions) else []
     )
 
+    # Construct the embedder EXACTLY as train_hyper_combine does (styles
+    # appended as pseudo-zero-shot ids, CC zero-shot domains excluded) so
+    # the restored pytree shapes match the trained checkpoint; the unseen
+    # domains are registered post-restore for the id-table schemes.
+    id_scheme = data_cfg.domain_scheme in ("embedding", "one hot")
     embedder = DomainEmbedder(
         data_cfg.domain_scheme, vocab, cc_domains,
         hyper_emb=model_cfg.hyper_emb, cap_path=data_cfg.cc_captions,
         n_tsne=data_cfg.n_tsne,
-        zero_shot_domains=list("fhr") + zero_shot,
+        zero_shot_domains=list("fhr") + ([] if id_scheme else zero_shot),
         zero_shot_path=data_cfg.cc_oneshot_captions,
     )
     key = jax.random.PRNGKey(0)
@@ -65,6 +70,10 @@ def main(argv=None):
         print(f"loaded {train_cfg.checkpoint_dir}")
     except FileNotFoundError:
         print("no checkpoint; evaluating random init")
+    if zero_shot and id_scheme:
+        params = dict(params)
+        params["domain_emb"] = embedder.register_zero_shot(
+            params["domain_emb"], zero_shot, key=k3)
     encoder_params = build_encoder(model_cfg, k2, args.encoder_weights)
     embed_fn = lambda p, b: embedder.embed(p["domain_emb"], b["domain_value"])  # noqa: E731
     trainer = CaptionTrainer(

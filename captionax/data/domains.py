@@ -213,6 +213,55 @@ class DomainEmbedder:
     def host_vector(self, domain: str):
         return self.table[domain.strip()]
 
+    def register_zero_shot(self, params, domains, key):
+        """Register genuinely-unseen domains AFTER params were restored.
+
+        Train/test compatibility rule: a tester must construct the
+        embedder exactly as the trainer did (same domain list, same
+        appended pseudo-styles) or the restored pytree shapes mismatch
+        (the 'embedding' table is (num_entries, hyper_emb); the
+        'one hot' width feeds the hypernet input dim).  Domains the
+        trainer never saw are added here instead, post-restore:
+
+        - 'embedding': appends fresh random rows — semantically the
+          untrained-random-row a train-time append leaves behind
+          (rows of never-batched domains receive zero gradient, the
+          zero-shot semantics of /root/reference/test_zero_shot.py);
+        - 'one hot': host-side ids only; ids beyond the trained
+          hyper_emb width one-hot to the zero vector (documented
+          degenerate conditioning — the reference never combined the
+          one-hot scheme with post-hoc domains);
+        - histogram/JSD schemes need no registration: their params are
+          domain-count-independent MLPs, so zero-shot domains can (and
+          should) be passed at construction as before.
+
+        Returns the (possibly grown) ``params`` pytree; mutates the
+        host-side id table in place.
+        """
+        new = [d.strip() for d in domains
+               if d.strip() and d.strip() not in self.table]
+        if not new:
+            return params
+        if self.scheme == "one hot":
+            base = 100 + len(self.zero_shot_domains)
+            for j, d in enumerate(new):
+                self.table[d] = base + j
+            self.zero_shot_domains += new
+            return params
+        if self.scheme == "embedding":
+            for j, d in enumerate(new):
+                self.table[d] = self.num_entries + j
+            self.num_entries += len(new)
+            self.zero_shot_domains += new
+            rows = jax.random.normal(key, (len(new), self.hyper_emb))
+            params = dict(params)
+            params["table"] = jnp.concatenate(
+                [jnp.asarray(params["table"]), rows])
+            return params
+        raise ValueError(
+            f"scheme {self.scheme!r} embeds arbitrary domains already; "
+            "pass them at construction via zero_shot_domains")
+
     def embed(self, params, domain_value) -> jnp.ndarray:
         """domain_value = host_vector(domain) placed on device (an id for
         one-hot/embedding schemes, a vector otherwise)."""

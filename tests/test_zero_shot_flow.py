@@ -93,3 +93,48 @@ class TestZeroShotFlow:
         res = trainer2.test_beam(feature_batches(zdata, emb_train))
         assert "beam_corpus_bleu1" in res
         assert np.isfinite(res["tf_bleu1"])
+
+    def test_register_zero_shot_post_restore(self, cc_files):
+        """test_all's compatibility rule: construct like the trainer
+        (pseudo-styles only), restore, then register unseen domains
+        (captionax/cli/test_all.py) — the embedding-scheme table grows
+        by exactly the new rows, trained rows bit-intact."""
+        train_path, oneshot_path = cc_files
+        vocab = FakeVocab(V)
+        seen = domain_list(train_path)
+        zs = domain_list(oneshot_path)
+
+        emb = DomainEmbedder("embedding", vocab, seen, hyper_emb=6,
+                             cap_path=train_path,
+                             zero_shot_domains=list("fhr"))
+        params = emb.init_params(jax.random.PRNGKey(0))
+        trained = np.asarray(params["table"])  # stands in for a restore
+        assert trained.shape == (len(seen) + 3, 6)
+
+        params2 = emb.register_zero_shot(params, zs, jax.random.PRNGKey(7))
+        table2 = np.asarray(params2["table"])
+        assert table2.shape == (len(seen) + 3 + len(zs), 6)
+        np.testing.assert_array_equal(table2[: len(trained)], trained)
+        assert emb.table["unseenX"] == len(seen) + 3
+        vec = emb.embed(params2, np.asarray(emb.host_vector("unseenX")))
+        assert np.isfinite(np.asarray(vec)).all()
+        # idempotent: re-registering known domains is a no-op
+        params3 = emb.register_zero_shot(params2, zs, jax.random.PRNGKey(8))
+        assert np.asarray(params3["table"]).shape == table2.shape
+
+    def test_register_zero_shot_one_hot_degenerate(self, cc_files):
+        """One-hot scheme: post-hoc ids fall beyond the trained width and
+        one-hot to the zero vector (documented degenerate conditioning)."""
+        train_path, oneshot_path = cc_files
+        vocab = FakeVocab(V)
+        seen = domain_list(train_path)
+        zs = domain_list(oneshot_path)
+        emb = DomainEmbedder("one hot", vocab, seen, cap_path=train_path,
+                             zero_shot_domains=list("fhr"))
+        width = emb.hyper_emb
+        params = emb.init_params(jax.random.PRNGKey(0))
+        params = emb.register_zero_shot(params, zs, jax.random.PRNGKey(1))
+        assert emb.table["unseenX"] == 103  # after f/h/r at 100-102
+        vec = np.asarray(emb.embed(params,
+                                   np.asarray(emb.host_vector("unseenX"))))
+        assert vec.shape == (width,) and (vec == 0).all()
