@@ -31,6 +31,12 @@ TORCH_CPU_BASELINE_CAPS_PER_SEC = 13.14  # benchmarks/torch_cpu_baseline.py
 NF, FO, E, H, V, K, MAX_STEPS, R = 2048, 200, 200, 200, 9684, 3, 50, 49
 
 
+def _wall_ms(thunk) -> float:
+    t0 = time.perf_counter()
+    thunk()
+    return (time.perf_counter() - t0) * 1e3
+
+
 def main(batch: int = 1024, iters: int = 10):
     from captionax.models import decoder as dec
     from captionax.models.hypernet import hypernet_init
@@ -101,6 +107,25 @@ def main(batch: int = 1024, iters: int = 10):
         assert len(outs) == iters
     eos_caps_per_sec = batch / dt_eos
 
+    # contention self-check (the r03 scoreboard number was halved by a
+    # concurrent chip job serializing through the relay — benchmarks/
+    # README.md): measure the per-dispatch relay floor (trivial jit) and
+    # the single-dispatch wall of the same compiled beam program; the
+    # device-implied rate batch/(single - floor) is load-independent of
+    # the pipelining, so wall-rate << device-implied-rate (or an
+    # inflated floor) flags a contended measurement.
+    tiny = jnp.zeros((8,), jnp.float32)
+    trivial = jax.jit(lambda v: v + 1)
+    np.asarray(trivial(tiny))  # compile
+    floor_ms = min(
+        _wall_ms(lambda: np.asarray(trivial(tiny))) for _ in range(7))
+    single_ms = min(
+        _wall_ms(lambda: np.asarray(packed_beam(params, features, style_id)))
+        for _ in range(5))
+    device_ms = max(single_ms - floor_ms, 1e-3)
+    device_caps = batch / device_ms * 1e3
+    contention = bool(floor_ms > 60.0 or caps_per_sec < 0.5 * device_caps)
+
     print(json.dumps({
         "metric": "beam_captions_per_sec_per_chip",
         "value": round(caps_per_sec, 1),
@@ -108,6 +133,10 @@ def main(batch: int = 1024, iters: int = 10):
         "vs_baseline": round(caps_per_sec / TORCH_CPU_BASELINE_CAPS_PER_SEC, 1),
         "p50_per_caption_ms": round(p50_ms, 4),
         "eos_terminating_caps_per_sec": round(eos_caps_per_sec, 1),
+        "device_caps_per_sec": round(device_caps, 1),
+        "dispatch_floor_ms": round(floor_ms, 2),
+        "single_dispatch_ms": round(single_ms, 2),
+        "contention_suspected": contention,
         "batch": batch,
         "beam_k": K,
         "max_steps": MAX_STEPS,
