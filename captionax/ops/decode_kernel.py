@@ -56,11 +56,23 @@ def _first_argmax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def _top3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row top-3 (values, indices) of [N, M] in descending order.
+    """Per-row top-3 (values, indices) of [N, M] in descending order,
+    matching jax.lax.top_k exactly (first-occurrence order under ties).
 
-    Each round is max -> first-argmax-via-iota -> mask, sharing the max
+    Wide rows route to the segmented scheme (_top3_seg) whose per-round
+    work over the full width is ~1 elementwise pass instead of ~6; the
+    flat masking scheme stays for narrow merges (3*n_chunks / 9-candidate
+    rows)."""
+    if x.shape[1] >= 512 and x.shape[1] % 128 == 0:
+        return _top3_seg(x)
+    return _top3_flat(x)
+
+
+def _top3_flat(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """3 rounds of max -> first-argmax-via-iota -> mask, sharing the max
     between value and argmax (one VPU reduction fewer per round than a
-    naive max + argmax pair)."""
+    naive max + argmax pair).  ~6 elementwise passes over [N, M] per
+    round."""
     vals, idxs = [], []
     cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     M = x.shape[1]
@@ -71,6 +83,48 @@ def _top3(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         vals.append(v)
         idxs.append(i)
         x = jnp.where(cols == i[:, None], NEG_INF, x)
+    return jnp.stack(vals, 1), jnp.stack(idxs, 1)  # [N, 3]
+
+
+def _top3_seg(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segmented top-3: one pass computes per-128-lane-segment maxes,
+    then each round runs on [N, S] segment maxes (tiny) plus ONE
+    select-chain pass over the full width to extract the winning
+    segment; argmax/masking happen inside 128 lanes.  ~(1 + 3) full-
+    width passes total vs ~18 for the flat scheme — the top-3 stage was
+    the kernel's dominant VPU cost (14.5 ms of the 36.7 ms call,
+    benchmarks/_parity/decode_roofline.json).
+
+    Semantics are bit-identical to _top3_flat: the global first-max lane
+    is the first lane of the first segment attaining the global max
+    (segment maxes and extracted values are the same f32 bits), and
+    prior picks are re-masked after extraction, so first-occurrence tie
+    order is preserved."""
+    rows, c = x.shape
+    S = c // 128
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    segs = [x[:, s * 128:(s + 1) * 128] for s in range(S)]
+    m = jnp.concatenate(
+        [jnp.max(sg, axis=1)[:, None] for sg in segs], axis=1)  # [N, S]
+    scol = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 1)
+    picks = []
+    vals, idxs = [], []
+    for _ in range(3):
+        v = jnp.max(m, axis=1)
+        s_star = jnp.min(jnp.where(m >= v[:, None], scol, S), axis=1)
+        xs = segs[0]
+        for s in range(1, S):  # the one full-width pass of the round
+            xs = jnp.where((s_star == s)[:, None], segs[s], xs)
+        for ps, pl in picks:  # re-apply prior picks inside this segment
+            xs = jnp.where((s_star == ps)[:, None]
+                           & (cols == pl[:, None]), NEG_INF, xs)
+        l_star = jnp.min(jnp.where(xs >= v[:, None], cols, 128), axis=1)
+        vals.append(v)
+        idxs.append(s_star * 128 + l_star)
+        xs = jnp.where(cols == l_star[:, None], NEG_INF, xs)
+        new_m = jnp.max(xs, axis=1)
+        m = jnp.where(scol == s_star[:, None], new_m[:, None], m)
+        picks.append((s_star, l_star))
     return jnp.stack(vals, 1), jnp.stack(idxs, 1)  # [N, 3]
 
 
