@@ -72,7 +72,9 @@ def build(args, kind):
         lr=args.lr, batch_size=args.batch_size, max_epochs=args.epochs,
         seed=args.seed,
         checkpoint_dir=os.path.join(OUT_DIR, f"ckpt_ccab_{kind}"),
-        cache_features=True,
+        # device table: leak-proof (relay RSS leak rides host->device
+        # transfers; see CLAUDE.md) and ~7x warm epochs vs re-encoding
+        cache_features_device=True,
     )
     model_cfg.encoder_depth = args.encoder_depth
     rows = load_cc_captions(seen_p)

@@ -59,7 +59,10 @@ def common_flags(args, seen_p, zs_p):
         "--lr", str(args.lr),
         "--checkpoint-dir", CKPT,
         "--encoder-depth", str(args.encoder_depth),
-        "--cache-features",
+        # HBM-resident feature table: zero per-step host->device feature
+        # traffic, which also sidesteps the relay's RSS-leak-per-transfer
+        # (the r03 run of this study grew to 41 GB RSS on the host path)
+        "--cache-features-device",
     ]
 
 

@@ -69,8 +69,40 @@ def feature_path(n_images: int) -> str:
     return os.path.join(OUT_DIR, f"features_{n_images}.f16.npy")
 
 
-def inject(batches, feats: np.ndarray):
-    """Attach the dumped features to each host batch by dataset index."""
+_DEVICE_TABLES: dict = {}
+
+
+def _device_table(feats: np.ndarray):
+    """One-time upload of the feature dump as an HBM-resident f16 table
+    plus a jitted gather+cast.  Keyed by id() and pinning the array so a
+    per-epoch ``inject(...)`` re-uses the same upload — the axon relay
+    leaks host RSS 1:1 with every host->device transfer's bytes
+    (CLAUDE.md), so per-step (or per-epoch) feature copies grow RSS
+    without bound on long studies (41 GB observed on the r03 combine
+    run)."""
+    key = id(feats)
+    if key not in _DEVICE_TABLES:
+        import jax
+        import jax.numpy as jnp
+
+        table = jnp.asarray(np.ascontiguousarray(feats, dtype=np.float16))
+        gather = jax.jit(lambda t, r: t[r].astype(jnp.float32))
+        _DEVICE_TABLES[key] = (feats, table, gather)
+    return _DEVICE_TABLES[key][1:]
+
+
+def inject(batches, feats: np.ndarray, device: bool = True):
+    """Attach the dumped features to each host batch by dataset index.
+
+    ``device=True`` (default) serves them from an HBM-resident table —
+    per step only the [B] index vector crosses the relay."""
+    if device:
+        table, gather = _device_table(feats)
+        for b in batches:
+            b = dict(b)
+            b["features"] = gather(table, np.asarray(b["indices"]))
+            yield b
+        return
     for b in batches:
         b = dict(b)
         b["features"] = feats[b["indices"]].astype(np.float32)

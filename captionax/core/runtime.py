@@ -109,6 +109,23 @@ def device_time(fn, *args, k: int = 4, iters: int = 5) -> float:
     return max(0.0, (tk - t1) / (k - 1))
 
 
+def host_rss_mb() -> float:
+    """Current process resident-set size in MB (0.0 if unreadable).
+
+    Logged per epoch by the training harness because the axon PJRT
+    plugin leaks host RSS 1:1 with host->device transfer bytes
+    (CLAUDE.md): a flat rss_mb column is the evidence that a long run
+    uses the leak-proof device-resident feature path."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except OSError:
+        pass
+    return 0.0
+
+
 class StepTimer:
     """Per-step wall timing with percentile summaries."""
 

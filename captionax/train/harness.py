@@ -445,10 +445,15 @@ class CaptionTrainer:
                     "domain/style group, empty caption file, or an "
                     "over-restrictive index split)"
                 )
+            from captionax.core.runtime import host_rss_mb
+
             epoch_metrics = {
                 "epoch": epoch,
                 "train_loss_epoch": loss_sum / max(n, 1),
                 "epoch_seconds": time.time() - t0,
+                # flat across epochs <=> no per-step host->device feature
+                # traffic (the relay leaks RSS per transferred byte)
+                "rss_mb": host_rss_mb(),
             }
             if val_batches is not None:
                 val = self.validate(val_batches())
