@@ -55,6 +55,14 @@ def main(argv=None):
     parser.add_argument("--save", type=str, default="",
                         help="pickle the trained classifier params here "
                              "(consumed by train_hypernet --mixup)")
+    parser.add_argument("--warm-start", type=str, default="",
+                        help="pickle of a previously trained BERT-family "
+                             "classifier (same --bert-hidden/--bert-layers); "
+                             "its 'bert' trunk initializes this one.  The "
+                             "reference gets token semantics from pretrained "
+                             "bert-base (bert_essence_classifier.py:40); with "
+                             "no downloads here, a trunk trained on the "
+                             "style task is the available substitute")
     args = parser.parse_args(argv)
     model_cfg, train_cfg, data_cfg = parse_configs(args)
 
@@ -127,6 +135,20 @@ def main(argv=None):
                 args.bert_hidden, args.bert_layers,
             )
         apply_fn = style_classifier_apply
+    if args.warm_start and args.kind != "small":
+        import pickle
+
+        with open(args.warm_start, "rb") as f:
+            donor = pickle.load(f)
+        assert "bert" in donor, "--warm-start pickle has no 'bert' trunk"
+        donor_shapes = jax.tree_util.tree_map(lambda x: x.shape, donor["bert"])
+        mine = jax.tree_util.tree_map(lambda x: x.shape, params["bert"])
+        assert donor_shapes == mine, (
+            f"--warm-start trunk dims mismatch: {args.warm_start} vs "
+            f"--bert-hidden {args.bert_hidden} --bert-layers "
+            f"{args.bert_layers}")
+        params["bert"] = jax.tree_util.tree_map(jnp.asarray, donor["bert"])
+        print(f"warm-started {args.kind} trunk from {args.warm_start}")
 
     tx = make_optimizer(train_cfg.lr, train_cfg.grad_clip)
     state = create_train_state(params, tx)
