@@ -114,8 +114,15 @@ def build(args, kind):
             attach_domain_values)
 
 
-def run_side(args, kind):
+def run_side(args, kind, shared_cache=None):
     trainer, data, zs_data, train_cfg, embedder, attach = build(args, kind)
+    if shared_cache is not None and trainer.feature_cache is not None:
+        # both sides encode the IDENTICAL synthetic images with the
+        # IDENTICAL encoder (same seed -> same k2 -> same params), so the
+        # frozen-feature table is shared: the second side starts fully
+        # warm instead of re-paying the epoch-0 encode of the whole
+        # corpus through the relay (~1 h at 7.6k images, ResNet-152)
+        trainer.feature_cache = shared_cache
     maybe = (lambda b: attach(b, embedder)) if embedder is not None else (
         lambda b: b)
     train_idx, val_idx, test_idx = data.split_by_domain(2, 2,
@@ -146,7 +153,7 @@ def run_side(args, kind):
         print(kind, split, {k: round(v, 4) for k, v in out[split].items()
                             if "cider" in k or "bleu1" in k or "completed" in k},
               flush=True)
-    return out
+    return out, trainer.feature_cache
 
 
 def phase_report(args):
@@ -192,10 +199,11 @@ def main(argv=None):
 
         setup_runtime()
     os.makedirs(OUT_DIR, exist_ok=True)
+    cache = None
     if args.phase in ("all", "gru"):
-        run_side(args, "gru")
+        _, cache = run_side(args, "gru")
     if args.phase in ("all", "hypernet"):
-        run_side(args, "hypernet")
+        run_side(args, "hypernet", shared_cache=cache)
     phase_report(args)
 
 
