@@ -60,14 +60,19 @@ def main(argv=None):
     seen_p, _ = split_files(OUT_DIR)
     rows = {}
     for kind in args.kinds.split(","):
-        warm = ""
+        warm, row_suffix = "", ""
         if kind == "essence_warm":
             # VERDICT r3 stretch: lift essence above chance without
             # pretrained weights by donating the trained style3 trunk
             # (requires a prior style3 row with the same tag/dims)
-            kind, warm = "essence", os.path.join(
+            kind, warm, row_suffix = "essence", os.path.join(
                 OUT_DIR, "clf_style3"
-                + (f"_{args.tag}" if args.tag else "") + ".pkl")
+                + (f"_{args.tag}" if args.tag else "") + ".pkl"), "_warm"
+        elif kind == "essence_mlm":
+            # second lever: masked-LM-pretrained trunk on the caption
+            # corpus (benchmarks/mlm_pretrain.py at the same dims)
+            kind, warm, row_suffix = "essence", os.path.join(
+                OUT_DIR, "clf_mlm.pkl"), "_mlm"
         flags = [
             "--kind", kind, "--synthetic", "--styled-fixture",
             "--synthetic-images", str(args.images),
@@ -91,7 +96,7 @@ def main(argv=None):
             flags += ["--embed-size", "64", "--lr", "2e-3"]
         if warm:
             flags += ["--warm-start", warm]
-        row_key = f"{kind}_warm" if warm else kind
+        row_key = kind + row_suffix
         t0 = time.time()
         _, hacc = clf_main(flags)
         rows[row_key] = {"heldout_acc": round(float(hacc), 4),
@@ -99,8 +104,9 @@ def main(argv=None):
                          "epochs": args.epochs,
                          "dims": ("embed64" if kind == "small" else
                                   f"bert {args.bert_hidden}x{args.bert_layers} "
-                                  + ("(style3-warm-started trunk)" if warm
-                                     else "(random init)"))}
+                                  + ({"_warm": "(style3-warm-started trunk)",
+                                      "_mlm": "(caption-MLM-pretrained trunk)",
+                                      "": "(random init)"}[row_suffix]))}
         print(row_key, rows[row_key], flush=True)
     out_name = (f"classifier_rows_{args.tag}.json" if args.tag
                 else "classifier_rows.json")
