@@ -253,6 +253,26 @@ class TestCoreClis:
                       "--factual", "/root/reference/data/factual_train.txt"])
         assert out.exists() and len(vocab) > 1000
 
+    def test_classifier_warm_start(self, tmp_path):
+        """--warm-start trunk donation (the essence-above-chance levers,
+        BASELINE.md): a style3 trunk initializes the essence trunk when
+        dims match, and a dims mismatch fails loudly."""
+        from captionax.cli.train_classifier import main as clf_main
+
+        bert = ["--bert-hidden", "32", "--bert-layers", "2",
+                "--styled-fixture"]
+        donor = tmp_path / "style3.pkl"
+        _, acc = clf_main(args(tmp_path, "--kind", "style3", *bert,
+                               "--save", str(donor)))
+        assert donor.exists() and 0.0 <= acc <= 1.0
+        _, acc = clf_main(args(tmp_path, "--kind", "essence", *bert,
+                               "--warm-start", str(donor)))
+        assert 0.0 <= acc <= 1.0
+        with pytest.raises(AssertionError, match="dims mismatch"):
+            clf_main(args(tmp_path, "--kind", "essence",
+                          "--bert-hidden", "64", "--bert-layers", "2",
+                          "--styled-fixture", "--warm-start", str(donor)))
+
 
 @pytest.mark.skipif(not SLOW, reason="set CAPTIONAX_SLOW_TESTS=1")
 class TestLongTailClis:
