@@ -183,9 +183,9 @@ def phase_probe(args):
     print(f"saved {PROBE_PATH} (held-out acc {acc:.4f})")
 
 
-def phase_sep(args):
-    """4-way separation: decode Flickr test images under each
-    conditioning, classify with the 4-class probe."""
+def _load_sep_model(args):
+    """Shared by phase_sep / phase_thetadist: rebuild the embedder +
+    model exactly as phase_sep does and restore the trained checkpoint."""
     import jax
 
     from captionax.cli.common import build_encoder, build_hypernet_model
@@ -193,13 +193,7 @@ def phase_sep(args):
     from captionax.data.cc import domain_list
     from captionax.data.combine import style_histograms
     from captionax.data.domains import DomainEmbedder
-    from captionax.data.transforms import preprocess_images
-    from captionax.decode.search import beam_search
-    from captionax.models.classifiers import small_style_classifier_apply
-    from captionax.models.encoder import encoder_cnn
-    from captionax.models.hypernet import hypernet_apply
     from captionax.train.checkpoint import restore_checkpoint
-    from captionax.eval.metrics import CaptionMetrics
 
     seen_p, _ = split_files(OUT_DIR)
     vocab, data = _build_data(args)
@@ -219,6 +213,88 @@ def phase_sep(args):
                                   hyper_emb=embedder.hyper_emb)
     params["domain_emb"] = embedder.init_params(k3)
     params = restore_checkpoint(CKPT, like=params)
+    return vocab, data, cc_domains, model_cfg, embedder, params, k2
+
+
+def _sep_conditionings(args, cc_domains):
+    conds = [("factual", "f", 0), ("humour", "h", 1), ("romantic", "r", 2)]
+    cc_pick = cc_domains[:: max(1, len(cc_domains) // args.cc_conds)][
+        : args.cc_conds]
+    conds += [(f"cc:{d}", d, 3) for d in cc_pick]
+    return conds, cc_pick
+
+
+def _theta_distances(embedder, params, conds):
+    """Pairwise L2 between the conditionings' synthesized thetas — the
+    wiring sanity check behind a divergence-0 separation result: 9
+    different conditionings producing bit-identical beams for every
+    image is only a model property if their thetas genuinely differ
+    (VERDICT r4 weak #1a)."""
+    from captionax.models.hypernet import hypernet_apply
+
+    thetas, embs = {}, {}
+    for name, dom, _cls in conds:
+        emb = embedder.embed(params["domain_emb"],
+                             np.asarray(embedder.host_vector(dom)))
+        theta = hypernet_apply(params["hn"], emb)
+        embs[name] = np.asarray(emb, np.float32)
+        flat = np.concatenate(
+            [np.asarray(v, np.float32).ravel()
+             for v in jax_leaves_sorted(theta)])
+        thetas[name] = flat
+    names = [c[0] for c in conds]
+    out = {"emb_l2": {}, "theta_l2": {}, "theta_norms": {
+        n: float(np.linalg.norm(v)) for n, v in thetas.items()}}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            out["emb_l2"][f"{a}-vs-{b}"] = float(
+                np.linalg.norm(embs[a] - embs[b]))
+            out["theta_l2"][f"{a}-vs-{b}"] = float(
+                np.linalg.norm(thetas[a] - thetas[b]))
+    return out
+
+
+def jax_leaves_sorted(tree):
+    import jax
+
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    return leaves
+
+
+def phase_thetadist(args):
+    """Standalone (CPU-runnable) theta-distance check on the trained
+    combined checkpoint."""
+    _, _, cc_domains, _, embedder, params, _ = _load_sep_model(args)
+    conds, _ = _sep_conditionings(args, cc_domains)
+    dist = _theta_distances(embedder, params, conds)
+    path = os.path.join(OUT_DIR, "combine_thetadist.json")
+    with open(path, "w") as f:
+        json.dump(dist, f, indent=1)
+    tl2 = dist["theta_l2"]
+    print(f"theta norms: { {k: round(v, 3) for k, v in dist['theta_norms'].items()} }")
+    print(f"theta pairwise L2 min={min(tl2.values()):.5f} "
+          f"max={max(tl2.values()):.5f}")
+    for k, v in sorted(tl2.items(), key=lambda kv: kv[1])[:6]:
+        print(f"  {k}: {v:.5f}  (emb L2 {dist['emb_l2'][k]:.5f})")
+    print(f"wrote {path}")
+
+
+def phase_sep(args):
+    """4-way separation: decode Flickr test images under each
+    conditioning, classify with the 4-class probe."""
+    import jax
+
+    from captionax.cli.common import build_encoder
+    from captionax.data.transforms import preprocess_images
+    from captionax.decode.search import beam_search
+    from captionax.models.classifiers import small_style_classifier_apply
+    from captionax.models.encoder import encoder_cnn
+    from captionax.models.hypernet import hypernet_apply
+    from captionax.eval.metrics import CaptionMetrics
+
+    (vocab, data, cc_domains, model_cfg, embedder, params,
+     k2) = _load_sep_model(args)
     encoder_params = build_encoder(model_cfg, k2)
     with open(PROBE_PATH, "rb") as f:
         probe = pickle.load(f)
@@ -243,10 +319,12 @@ def phase_sep(args):
     feats = np.concatenate(feats)
 
     # conditionings: 3 Flickr pseudo-domains + N seen CC domains
-    conds = [("factual", "f", 0), ("humour", "h", 1), ("romantic", "r", 2)]
-    cc_pick = cc_domains[:: max(1, len(cc_domains) // args.cc_conds)][
-        : args.cc_conds]
-    conds += [(f"cc:{d}", d, 3) for d in cc_pick]
+    conds, cc_pick = _sep_conditionings(args, cc_domains)
+    # wiring sanity check FIRST: pairwise theta distances (a
+    # divergence-0 result below is only meaningful if these are > 0)
+    theta_dist = _theta_distances(embedder, params, conds)
+    print(f"theta pairwise L2 min={min(theta_dist['theta_l2'].values()):.5f} "
+          f"max={max(theta_dist['theta_l2'].values()):.5f}", flush=True)
 
     T = 25
     caps_by = {}
@@ -266,7 +344,7 @@ def phase_sep(args):
         print(f"decoded {name}", flush=True)
 
     out = {"matrix": {}, "per_cond_acc": {}, "images": len(test_idx),
-           "cc_conditionings": cc_pick}
+           "cc_conditionings": cc_pick, "theta_dist": theta_dist}
     correct = total = 0
     for name, dom, cls in conds:
         ids = np.zeros((len(test_idx), T), np.int32)
@@ -349,7 +427,7 @@ def main(argv=None):
     p.add_argument("--encoder-depth", type=int, default=152)
     p.add_argument("--phase", default="all",
                    choices=["all", "train", "testall", "probe", "sep",
-                            "report"])
+                            "thetadist", "report"])
     p.add_argument("--platform", default="default",
                    choices=["default", "cpu"])
     args = p.parse_args(argv)
