@@ -66,18 +66,142 @@ def common_flags(args, seen_p, zs_p):
     ]
 
 
+DISTILL_PATH = os.path.join(OUT_DIR, "combine_distilled_hn.pkl")
+
+
 def phase_train(args):
     from captionax.cli.train_hyper_combine import main as train_main
 
     seen_p, zs_p = split_files(OUT_DIR)
+    flags = common_flags(args, seen_p, zs_p)
+    # the captionax separation recipe (BASELINE.md: 0.99+ separation at
+    # every seed on pure FlickrStyle): style-identification aux loss +
+    # beam-matched margin checkpoint selection + distilled hn init
+    if args.style_aux:
+        flags += ["--style-aux"]
+        if args.platform != "cpu":
+            # fused two-scan grad graphs wedge the relay AOT helper
+            flags += ["--style-aux-split"]
+    if args.select_sep_margin:
+        flags += ["--select-sep-margin"]
+    if args.style_aux or args.select_sep_margin:
+        flags += ["--style-classifier", PROBE_PATH]
+    if args.init_distilled:
+        flags += ["--init-hn", DISTILL_PATH]
+    if args.skip_val_quality:
+        flags += ["--skip-val-quality"]
     t0 = time.time()
-    history = train_main(common_flags(args, seen_p, zs_p))
+    history = train_main(flags)
     out = {"history": {k: {m: float(v) for m, v in h.items()}
                        for k, h in history.items()},
-           "train_seconds": time.time() - t0}
+           "train_seconds": time.time() - t0,
+           "recipe": {"style_aux": args.style_aux,
+                      "select_sep_margin": args.select_sep_margin,
+                      "init_distilled": args.init_distilled,
+                      "batch_size": args.batch_size,
+                      "epochs": args.epochs}}
     with open(os.path.join(OUT_DIR, "combine_train.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("train done", out["train_seconds"], "s")
+
+
+def phase_distill(args):
+    """Distill the COMBINED model's hypernet: map the f/h/r conditioning
+    embeddings (the model's own domain_emb rows at their run-seed init)
+    to the three per-style trained GRU weight vectors from
+    benchmarks/init_distill.py --phase targets (the reference's
+    pretrain-then-finetune design, train_init.py:70-123, applied to the
+    combined conditioning space)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from captionax.models.hypernet import hypernet_apply_flat
+
+    targets_path = os.path.join(OUT_DIR, "distill_targets.pkl")
+    if not os.path.exists(targets_path):
+        raise SystemExit(
+            f"{targets_path} missing — run `python benchmarks/"
+            "init_distill.py --phase targets` first")
+    with open(targets_path, "rb") as f:
+        targets = pickle.load(f)
+    styles = ("factual", "humour", "romantic")
+    tvec = jnp.stack([jnp.asarray(targets[s]) for s in styles])
+
+    # params exactly as the training CLI builds them (same seed path)
+    _, _, _, _, embedder, params, _ = _load_sep_model_init(args)
+    embs = jnp.stack([
+        jnp.asarray(embedder.embed(
+            params["domain_emb"], np.asarray(embedder.host_vector(d))))
+        for d in ("f", "h", "r")])
+
+    tx = optax.adam(args.distill_lr)
+    hn = params["hn"]
+    opt_state = tx.init(hn)
+
+    @jax.jit
+    def step(hn, opt_state, idx):
+        def loss_fn(hn):
+            theta = hypernet_apply_flat(hn, embs[idx])
+            return jnp.mean((theta - tvec[idx]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(hn)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(hn, updates), opt_state, loss
+
+    t0 = time.time()
+    traj = {}
+    for i in range(args.distill_steps):
+        hn, opt_state, loss = step(hn, opt_state, i % 3)
+        lv = float(loss)
+        if i % 200 == 0:
+            traj[i] = lv
+            print(f"distill step {i} mse {lv:.3e} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        if lv < 1e-9:  # reference threshold, train_init.py:111
+            break
+    traj[i] = lv
+    import jax as _jax
+
+    host = _jax.tree_util.tree_map(np.asarray, {"hn": hn})
+    with open(DISTILL_PATH, "wb") as f:
+        pickle.dump(host, f)
+    with open(os.path.join(OUT_DIR, "combine_distill.json"), "w") as f:
+        json.dump({"final_mse": lv, "steps": i + 1,
+                   "seconds": time.time() - t0, "trajectory": traj}, f,
+                  indent=1)
+    print(f"saved {DISTILL_PATH} (mse {lv:.3e}, {i + 1} steps)")
+
+
+def _load_sep_model_init(args):
+    """Like _load_sep_model but WITHOUT restoring a checkpoint: the
+    model exactly at its run-seed init (what training starts from)."""
+    import jax
+
+    from captionax.cli.common import build_hypernet_model
+    from captionax.core.config import ModelConfig
+    from captionax.data.cc import domain_list
+    from captionax.data.combine import style_histograms
+    from captionax.data.domains import DomainEmbedder
+
+    seen_p, _ = split_files(OUT_DIR)
+    vocab, data = _build_data(args)
+    cc_domains = domain_list(seen_p)
+    model_cfg = ModelConfig(vocab_size=len(vocab),
+                            encoder_depth=args.encoder_depth)
+    embedder = DomainEmbedder(
+        args.scheme, vocab, cc_domains, hyper_emb=model_cfg.hyper_emb,
+        cap_path=seen_p, zero_shot_domains=list("fhr"))
+    if args.scheme.startswith("histograme"):
+        embedder.table.update(
+            {k: np.asarray(v, np.float32)
+             for k, v in style_histograms(data, vocab).items()})
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = build_hypernet_model(model_cfg, vocab, k1,
+                                  hyper_emb=embedder.hyper_emb)
+    params["domain_emb"] = embedder.init_params(k3)
+    return vocab, data, cc_domains, model_cfg, embedder, params, k2
 
 
 def phase_testall(args):
@@ -185,33 +309,12 @@ def phase_probe(args):
 
 def _load_sep_model(args):
     """Shared by phase_sep / phase_thetadist: rebuild the embedder +
-    model exactly as phase_sep does and restore the trained checkpoint."""
-    import jax
-
-    from captionax.cli.common import build_encoder, build_hypernet_model
-    from captionax.core.config import ModelConfig
-    from captionax.data.cc import domain_list
-    from captionax.data.combine import style_histograms
-    from captionax.data.domains import DomainEmbedder
+    model exactly as the training CLI does and restore the trained
+    checkpoint."""
     from captionax.train.checkpoint import restore_checkpoint
 
-    seen_p, _ = split_files(OUT_DIR)
-    vocab, data = _build_data(args)
-    cc_domains = domain_list(seen_p)
-    model_cfg = ModelConfig(vocab_size=len(vocab),
-                            encoder_depth=args.encoder_depth)
-    embedder = DomainEmbedder(
-        args.scheme, vocab, cc_domains, hyper_emb=model_cfg.hyper_emb,
-        cap_path=seen_p, zero_shot_domains=list("fhr"))
-    if args.scheme.startswith("histograme"):
-        embedder.table.update(
-            {k: np.asarray(v, np.float32)
-             for k, v in style_histograms(data, vocab).items()})
-    key = jax.random.PRNGKey(args.seed)
-    k1, k2, k3 = jax.random.split(key, 3)
-    params = build_hypernet_model(model_cfg, vocab, k1,
-                                  hyper_emb=embedder.hyper_emb)
-    params["domain_emb"] = embedder.init_params(k3)
+    (vocab, data, cc_domains, model_cfg, embedder, params,
+     k2) = _load_sep_model_init(args)
     params = restore_checkpoint(CKPT, like=params)
     return vocab, data, cc_domains, model_cfg, embedder, params, k2
 
@@ -425,9 +528,23 @@ def main(argv=None):
     p.add_argument("--cc-conds", type=int, default=6)
     p.add_argument("--probe-epochs", type=int, default=10)
     p.add_argument("--encoder-depth", type=int, default=152)
+    p.add_argument("--style-aux", action="store_true",
+                   help="train with the 4-class style/domain aux loss "
+                        "(probe from --phase probe)")
+    p.add_argument("--select-sep-margin", action="store_true",
+                   help="checkpoint-select on validation separation "
+                        "margin (beam-matched, continuous)")
+    p.add_argument("--init-distilled", action="store_true",
+                   help="warm-start the hypernet from --phase distill")
+    p.add_argument("--skip-val-quality", action="store_true",
+                   help="skip per-epoch val BLEU/METEOR/ROUGE/CIDEr "
+                        "(single-core Python, ~minutes/epoch at this "
+                        "val size)")
+    p.add_argument("--distill-lr", type=float, default=1e-3)
+    p.add_argument("--distill-steps", type=int, default=6000)
     p.add_argument("--phase", default="all",
                    choices=["all", "train", "testall", "probe", "sep",
-                            "thetadist", "report"])
+                            "thetadist", "distill", "report"])
     p.add_argument("--platform", default="default",
                    choices=["default", "cpu"])
     args = p.parse_args(argv)
@@ -440,7 +557,8 @@ def main(argv=None):
 
         setup_runtime()
     os.makedirs(OUT_DIR, exist_ok=True)
-    phases = (["train", "testall", "probe", "sep", "report"]
+    # probe first: the aux-recipe train phase consumes it
+    phases = (["probe", "train", "testall", "sep", "report"]
               if args.phase == "all" else [args.phase])
     for ph in phases:
         globals()[f"phase_{ph}"](args)

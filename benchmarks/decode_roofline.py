@@ -147,8 +147,15 @@ def main(argv=None):
 
     res["device_s_full"] = device_time(chained(""), features, k=4)
     res["device_s_noembed"] = device_time(chained("noembed"), features, k=4)
+    # same-session A/B of the two top-3 schemes ('full' routes wide rows
+    # to the segmented scheme; 'flattop3' forces the flat one) — the
+    # cross-day bench deltas (23.6k vs 24.9k) sit inside the daily band,
+    # so only a same-session floor-free pair can rank them
+    res["device_s_flattop3"] = device_time(chained("flattop3"), features,
+                                           k=4)
     print(f"device (floor-free) full {res['device_s_full']*1e3:8.1f} ms  "
-          f"noembed {res['device_s_noembed']*1e3:8.1f} ms", flush=True)
+          f"noembed {res['device_s_noembed']*1e3:8.1f} ms  "
+          f"flattop3 {res['device_s_flattop3']*1e3:8.1f} ms", flush=True)
 
     led = flop_ledger()
     full = res["device_s_full"]

@@ -73,6 +73,17 @@ class TrainConfig:
     style_aux_alpha: float = 0.7  # loss = alpha*CE + (1-alpha)*aux
     # same relay workaround as mixup_split, for the style-aux grad
     style_aux_split: bool = False
+    # aux probe class comes from batch['probe_cls'] instead of matching
+    # batch['style_id'] against the 3 style ids — lets the aux loss
+    # condition models whose batches are not style-keyed (the combined
+    # Flickr+CC hypernet: classes factual/humour/romantic/CC against a
+    # 4-class probe, train_hyper_combine + combine_study)
+    style_aux_from_batch: bool = False
+    # skip BLEU/METEOR/ROUGE/CIDEr on validation TF logits each epoch
+    # (pure-Python, single-core: ~minutes per epoch on large val splits;
+    # val_loss/val_loss_tf — the plateau + checkpoint monitors — are
+    # unaffected)
+    skip_val_quality: bool = False
     log_every: int = 20
     checkpoint_dir: str = "checkpoints"
     # which epoch-end metric BestCheckpointer monitors and its direction

@@ -44,7 +44,8 @@ from captionax.train.steps import (
     style_token_embed,
 )
 
-DEVICE_BATCH_KEYS = ("features", "captions", "style_id", "domain_value")
+DEVICE_BATCH_KEYS = ("features", "captions", "style_id", "domain_value",
+                     "probe_cls")
 
 
 class FeatureCache:
@@ -178,7 +179,10 @@ class CaptionTrainer:
                 aux_step = make_hypernet_styleaux_steps(
                     self.tx, style_classifier_params,
                     alpha=config.style_aux_alpha, embed_fn=embed_fn,
-                    style_ids=(0, 1, 2) if "style_embed" in params
+                    # None -> the probe class rides in batch['probe_cls']
+                    # (combined Flickr+CC model, 4-class probe)
+                    style_ids=None if config.style_aux_from_batch
+                    else (0, 1, 2) if "style_embed" in params
                     else (4, 3, 6),
                     split=config.style_aux_split,
                 )
@@ -273,7 +277,8 @@ class CaptionTrainer:
         # with an active feature cache, images stay host-side (a warm
         # cache never reads them; device_put would round-trip [B,224,
         # 224,3] through the relay for nothing)
-        keys = (("features", "captions", "style_id", "domain_value")
+        keys = (("features", "captions", "style_id", "domain_value",
+                 "probe_cls")
                 if self.feature_cache is not None
                 else ("images", "captions", "features"))
         return BatchLoader(batches, mesh=mesh, device_keys=keys)
@@ -456,7 +461,9 @@ class CaptionTrainer:
                 "rss_mb": host_rss_mb(),
             }
             if val_batches is not None:
-                val = self.validate(val_batches())
+                val = self.validate(
+                    val_batches(),
+                    with_quality_metrics=not cfg.skip_val_quality)
                 epoch_metrics.update(val)
                 lr = self.scheduler.step(val["val_loss_tf"], get_lr(self.state))
                 if lr != get_lr(self.state):

@@ -366,7 +366,11 @@ def make_hypernet_styleaux_steps(
     ``style_ids`` maps class index 0/1/2 -> the style_id values seen in
     batches (vocab rows (4, 3, 6) by default, incl. the reference's
     'humour'-><unk>=3 quirk; (0, 1, 2) for dedicated-style-token
-    models); batch['style_id'] must be one of them.
+    models); batch['style_id'] must be one of them.  ``style_ids=None``
+    instead reads the probe class directly from ``batch['probe_cls']``
+    (int32 scalar) — for models whose batches are not style-keyed, e.g.
+    the combined Flickr+CC hypernet scored by a 4-class f/h/r/CC probe
+    (TrainConfig.style_aux_from_batch).
 
     ``split=True``: same contract as make_hypernet_mixup_steps — the
     identical total gradient as two jitted dispatches (CE / aux; exact
@@ -376,7 +380,7 @@ def make_hypernet_styleaux_steps(
     from captionax.models.classifiers import classifier_soft_apply_fn
 
     clf_apply = classifier_soft_apply_fn(classifier_params)
-    sid = jnp.asarray(style_ids, jnp.int32)
+    sid = None if style_ids is None else jnp.asarray(style_ids, jnp.int32)
 
     def aux_loss(params, batch, rng):
         theta = hypernet_apply(params["hn"], embed_fn(params, batch))
@@ -386,7 +390,8 @@ def make_hypernet_styleaux_steps(
         )
         probs = jax.nn.softmax(logits_fr, axis=-1)
         pred = clf_apply(classifier_params, probs)
-        cls = jnp.argmax(sid == batch["style_id"])
+        cls = (batch["probe_cls"] if sid is None
+               else jnp.argmax(sid == batch["style_id"]))
         return -jnp.mean(jnp.log(pred[:, cls] + 1e-9))
 
     def ce_loss(params, batch):

@@ -318,6 +318,37 @@ class TestLongTailClis:
 
         main(args(tmp_path, "--cc-captions", str(_cc_file(tmp_path))))
 
+    def test_train_hyper_combine_aux_recipe(self, tmp_path):
+        """The combined separation recipe end-to-end at tiny dims:
+        4-class style-aux loss (probe class from batch['probe_cls']) +
+        beam-matched margin checkpoint selection."""
+        import pickle
+
+        import jax
+        import numpy as np
+
+        from captionax.cli.common import resolve_vocab
+        from captionax.core.config import DataConfig
+        from captionax.models.classifiers import small_style_classifier_init
+
+        vocab = resolve_vocab(DataConfig())
+        probe = small_style_classifier_init(
+            jax.random.PRNGKey(0), len(vocab), 16, 4)
+        probe = jax.tree_util.tree_map(np.asarray, probe)
+        probe_path = tmp_path / "probe4.pkl"
+        with open(probe_path, "wb") as f:
+            pickle.dump(probe, f)
+
+        from captionax.cli.train_hyper_combine import main
+
+        hist = main(args(tmp_path, "--cc-captions", str(_cc_file(tmp_path)),
+                         "--style-aux", "--skip-val-quality",
+                         "--select-sep-margin",
+                         "--style-classifier", str(probe_path)))
+        assert hist is not None
+        # the margin monitor must have been computed every epoch
+        assert all("val_sep_margin" in h for h in hist.values())
+
     def test_train_cc(self, tmp_path):
         from captionax.cli.train_cc import main
 
