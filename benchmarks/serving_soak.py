@@ -151,7 +151,10 @@ def guarded_soak(args, styles):
         "errors_total": samples[-1]["errors_total"] if samples else 0,
     }
     print("SUMMARY", json.dumps(summary), flush=True)
-    out = args.out.replace(".json", "_guarded.json")
+    # idempotent suffix: `--out ..._guarded.json` must not double up
+    # (the r4 artifact shipped as serving_soak_guarded_guarded.json)
+    out = (args.out if args.out.endswith("_guarded.json")
+           else args.out.replace(".json", "_guarded.json"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump({"samples": samples, "summary": summary}, f, indent=1)

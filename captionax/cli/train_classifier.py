@@ -140,13 +140,16 @@ def main(argv=None):
 
         with open(args.warm_start, "rb") as f:
             donor = pickle.load(f)
-        assert "bert" in donor, "--warm-start pickle has no 'bert' trunk"
+        # user-input validation must survive `python -O` (asserts don't)
+        if "bert" not in donor:
+            raise SystemExit("--warm-start pickle has no 'bert' trunk")
         donor_shapes = jax.tree_util.tree_map(lambda x: x.shape, donor["bert"])
         mine = jax.tree_util.tree_map(lambda x: x.shape, params["bert"])
-        assert donor_shapes == mine, (
-            f"--warm-start trunk dims mismatch: {args.warm_start} vs "
-            f"--bert-hidden {args.bert_hidden} --bert-layers "
-            f"{args.bert_layers}")
+        if donor_shapes != mine:
+            raise SystemExit(
+                f"--warm-start trunk dims mismatch: {args.warm_start} vs "
+                f"--bert-hidden {args.bert_hidden} --bert-layers "
+                f"{args.bert_layers}")
         params["bert"] = jax.tree_util.tree_map(jnp.asarray, donor["bert"])
         print(f"warm-started {args.kind} trunk from {args.warm_start}")
 

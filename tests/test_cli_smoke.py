@@ -268,7 +268,8 @@ class TestCoreClis:
         _, acc = clf_main(args(tmp_path, "--kind", "essence", *bert,
                                "--warm-start", str(donor)))
         assert 0.0 <= acc <= 1.0
-        with pytest.raises(AssertionError, match="dims mismatch"):
+        # SystemExit (not assert): the guard must survive `python -O`
+        with pytest.raises(SystemExit, match="dims mismatch"):
             clf_main(args(tmp_path, "--kind", "essence",
                           "--bert-hidden", "64", "--bert-layers", "2",
                           "--styled-fixture", "--warm-start", str(donor)))
