@@ -56,7 +56,11 @@ def guarded_soak(args, styles):
         "--port", str(args.port), "--window", str(args.window),
         "--max-steps", str(args.max_steps), "--styles", args.styles,
     ]
-    sup = RssSupervisor(worker_argv, args.rss_limit_mb)
+    # shared-listener handover (one kernel accept queue across worker
+    # generations — hitless) + pre-arm spawn at 80% of the RSS limit
+    sup = RssSupervisor(worker_argv, args.rss_limit_mb,
+                        listen_port=args.port,
+                        prearm_frac=args.prearm_frac)
     sup_thread = threading.Thread(target=sup.run, daemon=True)
     sup_thread.start()
     # wait until the first worker serves
@@ -175,7 +179,14 @@ def main(argv=None):
                         "bound — the guarded soak; 0 = the bare in-process "
                         "soak that measures the relay leak itself")
     p.add_argument("--port", type=int, default=18431)
+    p.add_argument("--prearm-frac", type=float, default=0.8,
+                   help="guarded mode: spawn the replacement worker at "
+                        "this fraction of --rss-limit-mb so the switch "
+                        "at the limit is immediate (bounds the RSS "
+                        "overshoot to ~one poll interval of leak)")
     p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--listen-fd", type=int, default=-1,
+                   help=argparse.SUPPRESS)
     p.add_argument("--out", type=str,
                    default=os.path.join(os.path.dirname(__file__),
                                         "_parity", "serving_soak.json"))
@@ -199,7 +210,8 @@ def main(argv=None):
                 np.zeros((svc.image_size, svc.image_size, 3), np.uint8),
                 styles[0])
 
-        run_worker(service, "127.0.0.1", args.port, warmup=warm)
+        run_worker(service, "127.0.0.1", args.port, warmup=warm,
+                   listen_fd=args.listen_fd if args.listen_fd >= 0 else None)
         return
 
     if args.rss_limit_mb > 0:

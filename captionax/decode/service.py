@@ -286,8 +286,18 @@ class CaptionService:
 
 
 def make_http_server(service: CaptionService, host: str = "127.0.0.1",
-                     port: int = 0, reuse_port: bool = False):
+                     port: int = 0, reuse_port: bool = False,
+                     listen_fd: Optional[int] = None):
     """Build a ``ThreadingHTTPServer`` front-end for ``service``.
+
+    ``listen_fd`` adopts an ALREADY bound+listening socket inherited
+    from a supervisor (captionax.decode.supervise) instead of binding:
+    every worker generation then accepts from the SAME kernel accept
+    queue, so a retiring worker that simply stops accepting strands no
+    queued connections — the truly hitless rolling-restart handover
+    (SO_REUSEPORT, by contrast, gives each process its own accept queue
+    and Linux RSTs whatever sits in a queue when its socket closes —
+    the 2 drain-moment errors of the r4 guarded soak).
 
     Endpoints:
 
@@ -371,6 +381,14 @@ def make_http_server(service: CaptionService, host: str = "127.0.0.1",
             except Exception as e:  # undecodable image, bad json, ...
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
+    if listen_fd is not None:
+        import socket
+
+        srv = Server((host, port), Handler, bind_and_activate=False)
+        srv.socket.close()  # discard the unbound ctor socket
+        srv.socket = socket.socket(fileno=listen_fd)
+        srv.server_address = srv.socket.getsockname()
+        return srv
     return Server((host, port), Handler)
 
 
