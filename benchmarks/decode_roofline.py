@@ -147,15 +147,17 @@ def main(argv=None):
 
     res["device_s_full"] = device_time(chained(""), features, k=4)
     res["device_s_noembed"] = device_time(chained("noembed"), features, k=4)
-    # same-session A/B of the two top-3 schemes ('full' routes wide rows
-    # to the segmented scheme; 'flattop3' forces the flat one) — the
+    # same-session A/B of the two top-3 schemes ('full' = flat, the
+    # default since r5; 'segtop3' forces the segmented scheme) — the
     # cross-day bench deltas (23.6k vs 24.9k) sit inside the daily band,
-    # so only a same-session floor-free pair can rank them
-    res["device_s_flattop3"] = device_time(chained("flattop3"), features,
-                                           k=4)
+    # so only a same-session floor-free pair can rank them.  Measured
+    # 2026-08-21: flat 36.6 ms vs segmented 38.0 ms, refuting the r4
+    # pass-count prediction (see ops/decode_kernel.py _top3 docstring).
+    res["device_s_segtop3"] = device_time(chained("segtop3"), features,
+                                          k=4)
     print(f"device (floor-free) full {res['device_s_full']*1e3:8.1f} ms  "
           f"noembed {res['device_s_noembed']*1e3:8.1f} ms  "
-          f"flattop3 {res['device_s_flattop3']*1e3:8.1f} ms", flush=True)
+          f"segtop3 {res['device_s_segtop3']*1e3:8.1f} ms", flush=True)
 
     led = flop_ledger()
     full = res["device_s_full"]

@@ -55,20 +55,24 @@ def _first_argmax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.min(jnp.where(is_max, idx, n), axis=axis)
 
 
-def _top3(x: jnp.ndarray, flat: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _top3(x: jnp.ndarray, seg: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row top-3 (values, indices) of [N, M] in descending order,
     matching jax.lax.top_k exactly (first-occurrence order under ties).
 
-    Wide rows route to the segmented scheme (_top3_seg) whose per-round
-    work over the full width is ~1 elementwise pass instead of ~6; the
-    flat masking scheme stays for narrow merges (3*n_chunks / 9-candidate
-    rows).  ``flat=True`` (profiling-only, ablate='flattop3') forces the
-    flat scheme on wide rows for a same-session device-time A/B — the
-    measured verdict (benchmarks/_parity/decode_roofline_seg.json) is
-    that the two schemes time identically at production dims: the stage
-    is VPU issue-latency-bound on [rows, *] shaped ops, not elementwise-
-    pass-count-bound."""
-    if not flat and x.shape[1] >= 512 and x.shape[1] % 128 == 0:
+    The flat masking scheme is the default everywhere: the r5
+    same-session floor-free A/B (benchmarks/_parity/
+    decode_roofline_seg.json) measured flat 36.6 ms vs segmented
+    38.0 ms for the full kernel at production dims, refuting the r4
+    pass-count analysis — the segmented scheme cuts full-width
+    elementwise passes ~4.5x (~18 -> ~4) yet runs ~4% SLOWER, because
+    its per-round select chain issues S=19 narrow [rows, 128] VPU ops
+    where the flat scheme issues few wide [rows, 2432] ones: the stage
+    is VPU issue/occupancy-bound at these row counts, not
+    pass-throughput-bound.  ``seg=True`` (profiling-only,
+    ablate='segtop3') keeps the segmented scheme selectable for the
+    A/B; semantics of the two are bit-identical (first-occurrence tie
+    order), enforced by the scan-vs-kernel equality tests."""
+    if seg and x.shape[1] >= 512 and x.shape[1] % 128 == 0:
         return _top3_seg(x)
     return _top3_flat(x)
 
@@ -235,7 +239,7 @@ def _cell_core(word, h, feats, att1, ua_w, ua_b, va, wih_t, whh_t, bih, bhh,
 
 
 def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int,
-                         with_logz: bool = True, flat_top3: bool = False):
+                         with_logz: bool = True, seg_top3: bool = False):
     """Vocab-chunked logits -> per-row top-3 raw logits + logsumexp.
 
     top-3 by raw logits equals top-3 by log-softmax (per-row monotone
@@ -255,7 +259,7 @@ def _chunked_logits_top3(h_new, fcw_ref, fcb_ref, vp: int,
                     preferred_element_type=jnp.float32)
             + fcb_ref[j * c:(j + 1) * c]
         )
-        v3, i3 = _top3(logits, flat=flat_top3)
+        v3, i3 = _top3(logits, seg=seg_top3)
         vs.append(v3)
         is_.append(i3 + j * c)
         if with_logz:
@@ -645,7 +649,7 @@ def _beam_kernel(feats_ref, att1_ref, h0_ref, style_ref,
         else:
             v3r, i3, logz = _chunked_logits_top3(
                 h_new, fcw_ref, fcb_ref, vp,
-                flat_top3="flattop3" in ablate)
+                seg_top3="segtop3" in ablate)
         scores = score_scr[:, 0]
         # cumulative candidate scores: prev + log_softmax(top-3 raw logits)
         v3 = scores[:, None] + (v3r - logz[:, None])         # [rows, 3]
@@ -811,8 +815,8 @@ def fused_beam_search(
     enforces one style per batch, data_loader.py:287-298).
 
     ``ablate`` is PROFILING-ONLY (benchmarks/kernel_ablate.py): a comma
-    list of {noembed, nocell, nomm, notop3, nologz, nobook, flattop3}
-    that skips (or, for flattop3, reroutes) kernel
+    list of {noembed, nocell, nomm, notop3, nologz, nobook, segtop3}
+    that skips (or, for segtop3, reroutes) kernel
     stages to attribute per-step cost; results are semantically wrong.
     """
     from captionax.decode.search import BeamResult

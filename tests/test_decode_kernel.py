@@ -69,9 +69,12 @@ class TestTop3Unit:
         from captionax.ops.decode_kernel import _first_argmax, _top3
 
         ref_v, ref_i = jax.lax.top_k(x, 3)
-        v3, i3 = _top3(x)
-        np.testing.assert_array_equal(np.asarray(i3), np.asarray(ref_i))
-        np.testing.assert_allclose(np.asarray(v3), np.asarray(ref_v))
+        # both schemes (flat = default since r5; segmented kept for the
+        # profiling A/B) must match lax.top_k bit-for-bit incl. ties
+        for seg in (False, True):
+            v3, i3 = _top3(x, seg=seg)
+            np.testing.assert_array_equal(np.asarray(i3), np.asarray(ref_i))
+            np.testing.assert_allclose(np.asarray(v3), np.asarray(ref_v))
         i1 = _first_argmax(x, axis=1)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(ref_i[:, 0]))
 
