@@ -107,6 +107,34 @@ def main(batch: int = 1024, iters: int = 10):
         assert len(outs) == iters
     eos_caps_per_sec = batch / dt_eos
 
+    # mixed-style serving path — captionax's headline capability the
+    # reference cannot express at all (its collate forces one style per
+    # batch, data_loader.py:287-298): per-row style via an S=3 theta
+    # bank resident in VMEM, bank synthesized in its OWN dispatch
+    # (relay AOT rule, benchmarks/README.md), 16-image tiles.
+    from captionax.train.steps import style_table, synthesize_theta_batched
+
+    style_ids = jnp.asarray([4, 3, 6], jnp.int32)  # f / h(<unk>) / r
+    bank = jax.jit(synthesize_theta_batched)(
+        params, style_table(params)[style_ids])
+    rows = jnp.asarray(
+        np.random.RandomState(0).randint(0, 3, batch), jnp.int32)
+    mixed_beam = jax.jit(
+        lambda p, f, th, r: pack_beam_result(fused_beam_search(
+            p["decoder"], f, gru_params=th, max_steps=MAX_STEPS,
+            style_rows=r))
+    )
+    np.asarray(mixed_beam(params, features, bank, rows))  # compile + warm
+    dt_mix = float("inf")
+    for _ in range(3):
+        srv = PipelinedDecoder(
+            lambda f: mixed_beam(params, f, bank, rows))
+        t0 = time.perf_counter()
+        outs = list(srv.map(batches))
+        dt_mix = min(dt_mix, (time.perf_counter() - t0) / iters)
+        assert len(outs) == iters
+    mixed_caps_per_sec = batch / dt_mix
+
     # contention self-check (the r03 scoreboard number was halved by a
     # concurrent chip job serializing through the relay — benchmarks/
     # README.md): measure the per-dispatch relay floor (trivial jit) and
@@ -133,6 +161,7 @@ def main(batch: int = 1024, iters: int = 10):
         "vs_baseline": round(caps_per_sec / TORCH_CPU_BASELINE_CAPS_PER_SEC, 1),
         "p50_per_caption_ms": round(p50_ms, 4),
         "eos_terminating_caps_per_sec": round(eos_caps_per_sec, 1),
+        "mixed_style_caps_per_sec": round(mixed_caps_per_sec, 1),
         "device_caps_per_sec": round(device_caps, 1),
         "dispatch_floor_ms": round(floor_ms, 2),
         "single_dispatch_ms": round(single_ms, 2),
