@@ -89,14 +89,23 @@ def make_serve_parser(doc=None):
                              "window; requests/dispatch ceiling)")
     parser.add_argument("--rss-limit-mb", type=float, default=0.0,
                         help="supervise the server in a worker subprocess "
-                             "and roll it (SO_REUSEPORT zero-downtime "
-                             "handover) when its RSS crosses this bound — "
-                             "required ops guard under the axon relay's "
-                             "transfer leak (decode/supervise.py; 0 = off)")
+                             "and roll it (hitless shared-listener "
+                             "handover: one kernel accept queue across "
+                             "worker generations) when its RSS crosses "
+                             "this bound — required ops guard under the "
+                             "axon relay's transfer leak "
+                             "(decode/supervise.py; 0 = off)")
+    parser.add_argument("--prearm-frac", type=float, default=0.8,
+                        help="spawn the replacement worker at this "
+                             "fraction of --rss-limit-mb so the switch at "
+                             "the limit is immediate (bounds the RSS "
+                             "overshoot to ~one poll interval of leak)")
     parser.add_argument("--drain-grace", type=float, default=10.0,
                         help="seconds a retiring worker keeps running its "
                              "in-flight handler threads after SIGTERM")
     parser.add_argument("--_worker", action="store_true",
+                        help=__import__("argparse").SUPPRESS)
+    parser.add_argument("--listen-fd", type=int, default=-1,
                         help=__import__("argparse").SUPPRESS)
     # --mesh-data comes from make_parser; here it shards each inference
     # dispatch over the data axis (service.py mesh note)
@@ -126,11 +135,14 @@ def main(argv=None):
 
         if args.port == 0:
             raise SystemExit("--rss-limit-mb needs a fixed --port "
-                             "(workers share it via SO_REUSEPORT)")
+                             "(the supervisor binds it once and workers "
+                             "inherit the listening fd)")
         base = list(argv) if argv is not None else sys.argv[1:]
         sup = RssSupervisor(
             [sys.executable, "-m", "captionax.cli.serve", *base, "--_worker"],
             args.rss_limit_mb,
+            listen_host=args.host, listen_port=args.port,
+            prearm_frac=args.prearm_frac,
         )
         print(f"supervising serve workers on :{args.port} "
               f"(rss limit {args.rss_limit_mb:.0f} MB)", flush=True)
@@ -142,7 +154,8 @@ def main(argv=None):
 
         service = build_service(args)
         run_worker(service, args.host, args.port,
-                   drain_grace_s=args.drain_grace, warmup=_warmup)
+                   drain_grace_s=args.drain_grace, warmup=_warmup,
+                   listen_fd=args.listen_fd if args.listen_fd >= 0 else None)
         return
 
     from captionax.decode.service import make_http_server
