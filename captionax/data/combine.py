@@ -61,20 +61,54 @@ class CombinedData:
         cc_indices: Optional[Sequence[int]] = None,
     ) -> Iterable[dict]:
         """Yield unified batches: every batch carries a ``domain`` key
-        (CC domain name or 'f'/'h'/'r')."""
+        (CC domain name or 'f'/'h'/'r').
+
+        Each batch slot flips a ``flickr_prob`` coin for Flickr-vs-CC —
+        the reference's combine_collate_fn draws
+        ``random.choice(["CC", "Fliker"])`` PER BATCH
+        (data_loader_combine.py:413-415), i.e. the two corpora
+        contribute ~50/50 regardless of their sizes.  (Rounds 1-4
+        mixed proportionally to dataset size instead; with 2k Flickr
+        images against the 7.6k-row domain-oversampled CC corpus that
+        fed the model ~4-17% Flickr batches and free-running decode
+        collapsed to CC-style text under every conditioning —
+        benchmarks/_parity/combine_sep_plain.json.)  The epoch length
+        is the sum of both sides' batch counts; whichever side runs
+        out of fresh batches is regenerated with a new seed (new
+        caption/style draws), matching the reference's
+        sample-with-replacement collate."""
         rng = random.Random(seed)
-        fl_iter = self.flickr.batches(
-            flickr_indices
-            if flickr_indices is not None
-            else range(len(self.flickr)),
-            batch_size, style="random", seed=seed,
-        )
-        cc_iter = self.cc.batches(batch_size, seed=seed, indices=cc_indices)
-        fl_batches = list(fl_iter)
-        cc_batches = list(cc_iter)
-        for b in fl_batches:
-            b["domain"] = FLICKR_PSEUDO_DOMAINS[b["style"]]
-        order = [("fl", b) for b in fl_batches] + [("cc", b) for b in cc_batches]
-        rng.shuffle(order)
-        for _, b in order:
-            yield b
+
+        def fl_gen():
+            wrap = 0
+            while True:
+                for b in self.flickr.batches(
+                    flickr_indices
+                    if flickr_indices is not None
+                    else range(len(self.flickr)),
+                    batch_size, style="random", seed=seed + 7919 * wrap,
+                ):
+                    b["domain"] = FLICKR_PSEUDO_DOMAINS[b["style"]]
+                    yield b
+                wrap += 1
+
+        def cc_gen():
+            wrap = 0
+            while True:
+                yield from self.cc.batches(batch_size, seed=seed + 7919 * wrap,
+                                           indices=cc_indices)
+                wrap += 1
+
+        n_fl = len(list(self.flickr.batches(
+            flickr_indices if flickr_indices is not None
+            else range(len(self.flickr)), batch_size, style="random",
+            seed=seed, with_images=False)))
+        n_cc = len(list(self.cc.batches(batch_size, seed=seed,
+                                        indices=cc_indices,
+                                        with_images=False)))
+        fl_it, cc_it = fl_gen(), cc_gen()
+        for _ in range(n_fl + n_cc):
+            if n_fl and (not n_cc or rng.random() < self.flickr_prob):
+                yield next(fl_it)
+            else:
+                yield next(cc_it)

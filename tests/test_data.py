@@ -127,6 +127,46 @@ class TestCC:
         assert {b["domain"] for b in batches} == set(data.by_domain)
 
 
+class TestCombinedMixing:
+    def _combined(self):
+        from captionax.core.vocab import build_vocab
+        from captionax.data.combine import CombinedData
+        from captionax.data.synthetic import synthetic_flickr_style
+
+        v = build_vocab(["a b c"] * 5, [["x y"] * 5])
+        fl = synthetic_flickr_style(num_images=16, vocab=v, max_len=8)
+        rows = [(f"{d}_{i}.jpg", f"cap {i}", f"dom{d}")
+                for d in range(6) for i in range(12)]
+        cc = ConceptualCaptionsData(rows, v, image_loader=None, max_len=8)
+        return CombinedData(fl, cc)
+
+    def test_fifty_fifty_per_batch(self):
+        """The reference's combine_collate_fn draws
+        random.choice(["CC", "Fliker"]) PER BATCH
+        (data_loader_combine.py:413-415) — corpora contribute ~50/50
+        regardless of size.  Proportional-to-size mixing regressed the
+        combined model's conditioning (combine_sep_plain.json: 4-17%
+        Flickr batches -> free-running decode collapsed to CC text)."""
+        cd = self._combined()
+        doms = [b["domain"] for b in cd.batches(4, seed=0)]
+        n_fl = sum(d in ("f", "h", "r") for d in doms)
+        # binomial(len, 0.5): bound generously, reject degenerate mixes
+        assert 0.25 <= n_fl / len(doms) <= 0.75, (n_fl, len(doms))
+        # deterministic for a given seed (val loaders replay exactly)
+        assert [b["domain"] for b in cd.batches(4, seed=0)] == doms
+        assert [b["domain"] for b in cd.batches(4, seed=1)] != doms
+
+    def test_oversampled_side_regenerates(self):
+        """When one side runs out of fresh batches mid-epoch it is
+        regenerated with a new seed (new caption draws), mirroring the
+        reference's sample-with-replacement collate."""
+        cd = self._combined()
+        cd.flickr_prob = 0.9  # force flickr wrap-around
+        bs = [b for b in cd.batches(4, seed=3)
+              if b["domain"] in ("f", "h", "r")]
+        assert len(bs) > 4  # wrapped past the 4 natural flickr batches
+
+
 class TestDomainEmbedders:
     @needs_ref
     @pytest.mark.parametrize(
