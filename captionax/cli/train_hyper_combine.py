@@ -235,7 +235,8 @@ def main(argv=None):
     res = trainer.test_beam(
         attach_probe_cls(attach_domain_values(
             combined.batches(train_cfg.batch_size, seed=0,
-                             flickr_indices=fl_test, cc_indices=cc_test),
+                             flickr_indices=fl_test, cc_indices=cc_test,
+                             drop_remainder=False),
             embedder,
         ))
     )

@@ -59,6 +59,7 @@ class CombinedData:
         seed: int = 0,
         flickr_indices: Optional[Sequence[int]] = None,
         cc_indices: Optional[Sequence[int]] = None,
+        drop_remainder: bool = True,
     ) -> Iterable[dict]:
         """Yield unified batches: every batch carries a ``domain`` key
         (CC domain name or 'f'/'h'/'r').
@@ -76,7 +77,13 @@ class CombinedData:
         is the sum of both sides' batch counts; whichever side runs
         out of fresh batches is regenerated with a new seed (new
         caption/style draws), matching the reference's
-        sample-with-replacement collate."""
+        sample-with-replacement collate.
+
+        ``drop_remainder=False`` (test/eval iteration) passes through to
+        both sides: tail chunks keep their natural size instead of
+        oversampling to ``batch_size`` — the CC side's 2-row-per-domain
+        test split otherwise inflates 294 rows into 147 full batches of
+        resampled duplicates (37k beam decodes at B=256)."""
         rng = random.Random(seed)
 
         def fl_gen():
@@ -87,6 +94,7 @@ class CombinedData:
                     if flickr_indices is not None
                     else range(len(self.flickr)),
                     batch_size, style="random", seed=seed + 7919 * wrap,
+                    drop_remainder=drop_remainder,
                 ):
                     b["domain"] = FLICKR_PSEUDO_DOMAINS[b["style"]]
                     yield b
@@ -96,16 +104,19 @@ class CombinedData:
             wrap = 0
             while True:
                 yield from self.cc.batches(batch_size, seed=seed + 7919 * wrap,
-                                           indices=cc_indices)
+                                           indices=cc_indices,
+                                           drop_remainder=drop_remainder)
                 wrap += 1
 
         n_fl = len(list(self.flickr.batches(
             flickr_indices if flickr_indices is not None
             else range(len(self.flickr)), batch_size, style="random",
-            seed=seed, with_images=False)))
+            seed=seed, with_images=False,
+            drop_remainder=drop_remainder)))
         n_cc = len(list(self.cc.batches(batch_size, seed=seed,
                                         indices=cc_indices,
-                                        with_images=False)))
+                                        with_images=False,
+                                        drop_remainder=drop_remainder)))
         fl_it, cc_it = fl_gen(), cc_gen()
         for _ in range(n_fl + n_cc):
             if n_fl and (not n_cc or rng.random() < self.flickr_prob):
