@@ -71,6 +71,12 @@ def flops_ledger():
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--fused-only", action="store_true",
+                   help="measure ONLY the Pallas fused-recurrence train "
+                        "step (ops/train_kernel.py) and write "
+                        "trainstep_fused.json — run separately so a "
+                        "relay-compile failure cannot cost the baseline "
+                        "artifact")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "_parity", "trainstep_roofline.json"))
     args = p.parse_args(argv)
@@ -86,13 +92,21 @@ def main(argv=None):
     caps = jax.random.randint(jax.random.PRNGKey(3), (B, T), 0, V)
     sid = jnp.asarray(4, jnp.int32)
 
-    def loss_fn(ps, f, hoist):
+    def loss_fn(ps, f, hoist, fused=False):
         theta = synthesize_theta(ps, sid)
         dp, th, fx = ps["decoder"], theta, f
         if bf16:
             dp, th, fx = _bf16(dp), _bf16(th), f.astype(jnp.bfloat16)
-        hs, _ = dec.teacher_forced_hidden(dp, fx, caps, gru_params=th,
-                                          remat=True, hoist_att1=hoist)
+        if fused:
+            from captionax.ops.train_kernel import (
+                fused_teacher_forced_hidden,
+            )
+
+            hs, _ = fused_teacher_forced_hidden(dp, fx, caps,
+                                                gru_params=th)
+        else:
+            hs, _ = dec.teacher_forced_hidden(dp, fx, caps, gru_params=th,
+                                              remat=True, hoist_att1=hoist)
         return fused_ce_from_hidden(dp["fc"], hs, caps)
 
     # timing: the train_throughput.py state-threading pattern — chain n
@@ -106,10 +120,10 @@ def main(argv=None):
     tx = optax.adam(5e-3)
     opt_state = tx.init(params)
 
-    def make_step(hoist):
+    def make_step(hoist, fused=False):
         def step(ps, os_, f):
             loss, grads = jax.value_and_grad(
-                lambda q: loss_fn(q, f, hoist))(ps)
+                lambda q: loss_fn(q, f, hoist, fused))(ps)
             updates, os2 = tx.update(grads, os_, ps)
             return optax.apply_updates(ps, updates), os2, loss
         return step
@@ -128,8 +142,8 @@ def main(argv=None):
         tk = wall(make_rep(k))
         return max(1e-9, (tk - t1) / (k - 1))
 
-    def grad_rep(hoist):
-        step = make_step(hoist)
+    def grad_rep(hoist, fused=False):
+        step = make_step(hoist, fused)
 
         def make(n):
             @jax.jit
@@ -163,6 +177,22 @@ def main(argv=None):
                 acc = acc + jnp.sum(hs[:, -1, :2].astype(jnp.float32))
             return acc
         return lambda: run(dp, feats)
+
+    if args.fused_only:
+        res = {"bf16": bf16,
+               "dims": {"B": B, "T": T, "V": V, "H": H, "R": R}}
+        res["device_ms"] = {
+            "grad_step_fused": devtime(grad_rep(True, fused=True)) * 1e3,
+        }
+        res["rates"] = {
+            "img_per_s": B / (res["device_ms"]["grad_step_fused"] / 1e3),
+        }
+        out = os.path.join(os.path.dirname(args.out),
+                           "trainstep_fused.json")
+        with open(out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps(res, indent=1))
+        return
 
     res = {"bf16": bf16, "dims": {"B": B, "T": T, "V": V, "H": H, "R": R}}
     res["device_ms"] = {

@@ -99,6 +99,11 @@ class TrainConfig:
     # f32 master weights + f32 CE (the reference trains f32 only;
     # opt-in TPU speedup, numerics differ slightly)
     bf16_compute: bool = False
+    # run the teacher-forced recurrence as the Pallas fused fwd+BPTT
+    # kernel (ops/train_kernel.py) instead of lax.scan — opt-in; the
+    # 25-step recurrence is latency-bound in XLA (trainstep_roofline).
+    # Scan-equality of values and all grads is test-enforced.
+    fused_scan: bool = False
     # lax.scan unroll factor for the teacher-forced recurrence (1 =
     # exact reference loop; higher lets XLA pipeline the small per-step
     # matmuls across iterations, float-reassociation-level differences;

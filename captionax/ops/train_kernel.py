@@ -1,0 +1,388 @@
+"""Fused teacher-forced recurrence for TRAINING — forward + custom-VJP
+backward as Pallas kernels.
+
+Why: the hypernet/GRU train step is latency-bound in the 25-step
+recurrence, not FLOP-bound (benchmarks/trainstep_roofline.py: the scan
+runs 0.124 ms/step vs 0.004 ms at MXU peak — ~30x off roofline — and
+the remat backward replays it).  XLA cannot pipeline the sequential
+tiny-GEMM steps; one kernel holding the whole T-step loop in VMEM can.
+The vocab projection + CE stay OUTSIDE (they are one large GEMM XLA
+already runs near peak — fused_ce_from_hidden), as do the encoder MLP,
+``att1 = W_a f``, h0 and the embedding lookup (all single large
+differentiable XLA ops).
+
+Semantics: identical to ``models.decoder.teacher_forced_hidden`` with
+pure teacher forcing (sample_prob=0) — the t=0 zero-embedding quirk
+(decoderlstm.py:83-84) and torch GRU gate order are preserved; values
+differ from the scan only by f32 reassociation (att1 is computed once
+instead of per step — same contraction, different order).  Equality is
+test-enforced in tests/test_train_kernel.py (forward allclose + grads
+vs jax.grad of the scan path).
+
+The backward recomputes each step's attention/gate forward from the
+saved hidden-state sequence (hs is the forward OUTPUT, so this is free
+remat: no extra residuals beyond what the loss needs anyway) and runs
+the exact BPTT in one reverse fori_loop, accumulating weight gradients
+in VMEM.  Per-tile weight grads are summed across the (sequential)
+grid outside the kernel.
+
+VJP inputs/outputs (all differentiable): features (encoded, [B,R,F]),
+att1 [B,R,H], h0 [B,H], embeds [B,T,E], U_a w/b, v_a w, w_ih^T, w_hh^T,
+b_ih, b_hh.  d(v_a bias) is identically 0 (softmax shift invariance)
+and the W_a/embedding/encoder/h0-head grads flow through the outside
+XLA ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from captionax.models import decoder as dec
+from captionax.models.layers import embedding, linear
+
+
+def _cell_fwd(word, h, feats, att1, ua_w, ua_b, va, wih_t, whh_t, bih, bhh,
+              hd: int):
+    """One attention+GRU step (mirrors ops.decode_kernel._cell_core).
+    h is f32; feats/att1 may be bf16 (big 3D temps stay in that dtype,
+    matmuls accumulate f32)."""
+    cdt = feats.dtype
+    att2 = jnp.dot(h.astype(cdt), ua_w,
+                   preferred_element_type=jnp.float32) + ua_b
+    a = jnp.tanh(att1 + att2[:, None, :].astype(cdt))      # [Rows,R,H]
+    s = jnp.sum(a * va[None, None, :].astype(cdt), axis=2).astype(jnp.float32)
+    s = s - jnp.max(s, axis=1, keepdims=True)
+    w = jnp.exp(s)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    ctx = jnp.sum(w.astype(cdt)[:, :, None] * feats, axis=1).astype(
+        jnp.float32)
+    x = jnp.concatenate([word, ctx], axis=1)               # [Rows,E+F]
+    gi = jnp.dot(x.astype(cdt), wih_t,
+                 preferred_element_type=jnp.float32) + bih
+    gh = jnp.dot(h.astype(cdt), whh_t,
+                 preferred_element_type=jnp.float32) + bhh
+    r = jax.nn.sigmoid(gi[:, :hd] + gh[:, :hd])
+    z = jax.nn.sigmoid(gi[:, hd:2 * hd] + gh[:, hd:2 * hd])
+    n = jnp.tanh(gi[:, 2 * hd:] + r * gh[:, 2 * hd:])
+    return (1.0 - z) * n + z * h
+
+
+def _fwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
+                va_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hs_ref, *,
+                T: int, hd: int):
+    feats = feats_ref[:]
+    att1 = att1_ref[:]
+    ua_w, ua_b = ua_w_ref[:], ua_b_ref[0]
+    va = va_ref[0]
+    wih, whh = wih_ref[:], whh_ref[:]
+    bih, bhh = bih_ref[0], bhh_ref[0]
+    E = emb_ref.shape[2]
+    rows = feats.shape[0]
+    zero_word = jnp.zeros((rows, E), jnp.float32)
+
+    def step(t, h):
+        emb_t = emb_ref[:, pl.ds(jnp.maximum(t - 1, 0), 1), :][
+            :, 0, :].astype(jnp.float32)
+        word = jnp.where(t == 0, zero_word, emb_t)
+        h = _cell_fwd(word, h, feats, att1, ua_w, ua_b, va, wih, whh,
+                      bih, bhh, hd)
+        hs_ref[:, pl.ds(t, 1), :] = h[:, None, :].astype(hs_ref.dtype)
+        return h
+
+    jax.lax.fori_loop(0, T, step, h0_ref[:].astype(jnp.float32))
+
+
+def _bwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
+                va_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hs_ref, g_ref,
+                d_feats_ref, d_att1_ref, d_h0_ref, d_emb_ref, d_ua_w_ref,
+                d_ua_b_ref, d_va_ref, d_wih_ref, d_whh_ref, d_bih_ref,
+                d_bhh_ref, *, T: int, hd: int):
+    feats = feats_ref[:]
+    att1 = att1_ref[:]
+    cdt = feats.dtype
+    ua_w, ua_b = ua_w_ref[:], ua_b_ref[0]
+    va = va_ref[0]
+    wih, whh = wih_ref[:], whh_ref[:]
+    bih, bhh = bih_ref[0], bhh_ref[0]
+    rows, R, F = feats.shape
+    E = emb_ref.shape[2]
+    In = wih.shape[0]
+
+    # word grad at t=0 is identically zero (the zero-embedding quirk)
+    d_emb_ref[:, pl.ds(T - 1, 1), :] = jnp.zeros((rows, 1, E),
+                                                 d_emb_ref.dtype)
+
+    def step(i, carry):
+        t = T - 1 - i
+        (dh, d_feats, d_att1, d_ua_w, d_ua_b, d_va, d_wih, d_whh, d_bih,
+         d_bhh) = carry
+        h_prev = jnp.where(
+            t == 0,
+            h0_ref[:].astype(jnp.float32),
+            hs_ref[:, pl.ds(jnp.maximum(t - 1, 0), 1), :][
+                :, 0, :].astype(jnp.float32),
+        )
+        emb_t = emb_ref[:, pl.ds(jnp.maximum(t - 1, 0), 1), :][
+            :, 0, :].astype(jnp.float32)
+        word = jnp.where(t == 0, jnp.zeros((rows, E), jnp.float32), emb_t)
+
+        # ---- recompute the step forward (free remat off hs) ----
+        att2 = jnp.dot(h_prev.astype(cdt), ua_w,
+                       preferred_element_type=jnp.float32) + ua_b
+        a = jnp.tanh(att1 + att2[:, None, :].astype(cdt))   # [rows,R,H] cdt
+        s = jnp.sum(a * va[None, None, :].astype(cdt),
+                    axis=2).astype(jnp.float32)
+        s = s - jnp.max(s, axis=1, keepdims=True)
+        w = jnp.exp(s)
+        w = w / jnp.sum(w, axis=1, keepdims=True)           # [rows,R] f32
+        ctx = jnp.sum(w.astype(cdt)[:, :, None] * feats, axis=1).astype(
+            jnp.float32)
+        x = jnp.concatenate([word, ctx], axis=1)
+        gi = jnp.dot(x.astype(cdt), wih,
+                     preferred_element_type=jnp.float32) + bih
+        gh = jnp.dot(h_prev.astype(cdt), whh,
+                     preferred_element_type=jnp.float32) + bhh
+        r = jax.nn.sigmoid(gi[:, :hd] + gh[:, :hd])
+        z = jax.nn.sigmoid(gi[:, hd:2 * hd] + gh[:, hd:2 * hd])
+        gh_n = gh[:, 2 * hd:]
+        n = jnp.tanh(gi[:, 2 * hd:] + r * gh_n)
+
+        # ---- backward through the step ----
+        dh_new = g_ref[:, pl.ds(t, 1), :][:, 0, :].astype(
+            jnp.float32) + dh
+        dz = dh_new * (h_prev - n)
+        dn = dh_new * (1.0 - z)
+        dh_prev = dh_new * z
+        dpre_n = dn * (1.0 - n * n)
+        dr = dpre_n * gh_n
+        dpre_r = dr * r * (1.0 - r)
+        dpre_z = dz * z * (1.0 - z)
+        dgi = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=1)  # [rows,3H]
+        dgh = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=1)
+
+        d_wih = d_wih + jax.lax.dot_general(
+            x, dgi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [In,3H]
+        d_whh = d_whh + jax.lax.dot_general(
+            h_prev, dgh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_bih = d_bih + jnp.sum(dgi, axis=0, keepdims=True)
+        d_bhh = d_bhh + jnp.sum(dgh, axis=0, keepdims=True)
+
+        dx = jnp.dot(dgi, wih.astype(jnp.float32).T,
+                     preferred_element_type=jnp.float32)     # [rows,In]
+        dh_prev = dh_prev + jnp.dot(dgh, whh.astype(jnp.float32).T,
+                                    preferred_element_type=jnp.float32)
+        dword = dx[:, :E]
+        dctx = dx[:, E:]
+
+        @pl.when(t > 0)
+        def _():
+            d_emb_ref[:, pl.ds(jnp.maximum(t - 1, 0), 1), :] = (
+                dword[:, None, :].astype(d_emb_ref.dtype))
+
+        # attention backward
+        dw = jnp.sum(dctx.astype(cdt)[:, None, :] * feats,
+                     axis=2).astype(jnp.float32)             # [rows,R]
+        d_feats = d_feats + (w.astype(cdt)[:, :, None]
+                             * dctx.astype(cdt)[:, None, :]).astype(
+                                 d_feats.dtype)
+        ds = w * (dw - jnp.sum(w * dw, axis=1, keepdims=True))
+        da = ds.astype(cdt)[:, :, None] * va[None, None, :].astype(cdt)
+        de_lin = (da * (1.0 - a * a))                        # [rows,R,H] cdt
+        d_att1 = d_att1 + de_lin.astype(d_att1.dtype)
+        datt2 = jnp.sum(de_lin, axis=1).astype(jnp.float32)  # [rows,H]
+        d_ua_w = d_ua_w + jax.lax.dot_general(
+            h_prev, datt2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_ua_b = d_ua_b + jnp.sum(datt2, axis=0, keepdims=True)
+        d_va = d_va + jnp.sum(
+            a.astype(jnp.float32) * ds[:, :, None], axis=(0, 1),
+        )[None, :]
+        dh_prev = dh_prev + jnp.dot(datt2, ua_w.astype(jnp.float32).T,
+                                    preferred_element_type=jnp.float32)
+        return (dh_prev, d_feats, d_att1, d_ua_w, d_ua_b, d_va, d_wih,
+                d_whh, d_bih, d_bhh)
+
+    H = hd
+    init = (
+        jnp.zeros((rows, H), jnp.float32),
+        jnp.zeros((rows, R, F), jnp.float32),
+        jnp.zeros((rows, R, H), jnp.float32),
+        jnp.zeros((H, H), jnp.float32),
+        jnp.zeros((1, H), jnp.float32),
+        jnp.zeros((1, H), jnp.float32),
+        jnp.zeros((In, 3 * H), jnp.float32),
+        jnp.zeros((H, 3 * H), jnp.float32),
+        jnp.zeros((1, 3 * H), jnp.float32),
+        jnp.zeros((1, 3 * H), jnp.float32),
+    )
+    (dh, d_feats, d_att1, d_ua_w, d_ua_b, d_va, d_wih, d_whh, d_bih,
+     d_bhh) = jax.lax.fori_loop(0, T, step, init)
+    d_h0_ref[:] = dh.astype(d_h0_ref.dtype)
+    d_feats_ref[:] = d_feats.astype(d_feats_ref.dtype)
+    d_att1_ref[:] = d_att1.astype(d_att1_ref.dtype)
+    # weight-grad outputs carry a leading per-tile grid axis (block 1)
+    d_ua_w_ref[0] = d_ua_w
+    d_ua_b_ref[0] = d_ua_b
+    d_va_ref[0] = d_va
+    d_wih_ref[0] = d_wih
+    d_whh_ref[0] = d_whh
+    d_bih_ref[0] = d_bih
+    d_bhh_ref[0] = d_bhh
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pad_rows(arrs, n):
+    out = []
+    for a in arrs:
+        pad = n - a.shape[0]
+        out.append(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                   if pad else a)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def _fused_core(feats, att1, h0, embeds, ua_w, ua_b, va, wih_t, whh_t,
+                bih, bhh, block_rows: int, bwd_block_rows: int,
+                interpret: bool):
+    return _fused_fwd_call(feats, att1, h0, embeds, ua_w, ua_b, va, wih_t,
+                           whh_t, bih, bhh, block_rows, interpret)
+
+
+def _fused_fwd_call(feats, att1, h0, embeds, ua_w, ua_b, va, wih_t, whh_t,
+                    bih, bhh, block_rows, interpret):
+    B, R, F = feats.shape
+    T = embeds.shape[1]
+    H = h0.shape[1]
+    n = _round_up(B, block_rows)
+    feats_p, att1_p, h0_p, emb_p = _pad_rows((feats, att1, h0, embeds), n)
+    grid = n // block_rows
+    rtile = lambda *s: pl.BlockSpec((block_rows,) + s,
+                                    lambda i: (i,) + (0,) * len(s))
+    wtile = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s))
+    hs = pl.pallas_call(
+        functools.partial(_fwd_kernel, T=T, hd=H),
+        grid=(grid,),
+        in_specs=[rtile(R, F), rtile(R, H), rtile(H), rtile(T, emb_p.shape[2]),
+                  wtile(H, H), wtile(1, H), wtile(1, H),
+                  wtile(wih_t.shape[0], 3 * H), wtile(H, 3 * H),
+                  wtile(1, 3 * H), wtile(1, 3 * H)],
+        out_specs=rtile(T, H),
+        out_shape=jax.ShapeDtypeStruct((n, T, H), jnp.float32),
+        interpret=interpret,
+    )(feats_p, att1_p, h0_p, emb_p, ua_w, ua_b[None, :], va[None, :],
+      wih_t, whh_t, bih[None, :], bhh[None, :])
+    return hs[:B]
+
+
+def _fused_core_fwd(feats, att1, h0, embeds, ua_w, ua_b, va, wih_t, whh_t,
+                    bih, bhh, block_rows, bwd_block_rows, interpret):
+    hs = _fused_fwd_call(feats, att1, h0, embeds, ua_w, ua_b, va, wih_t,
+                         whh_t, bih, bhh, block_rows, interpret)
+    return hs, (feats, att1, h0, embeds, ua_w, ua_b, va, wih_t, whh_t,
+                bih, bhh, hs)
+
+
+def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
+    (feats, att1, h0, embeds, ua_w, ua_b, va, wih_t, whh_t, bih, bhh,
+     hs) = res
+    B, R, F = feats.shape
+    T = embeds.shape[1]
+    H = h0.shape[1]
+    E = embeds.shape[2]
+    In = wih_t.shape[0]
+    br = bwd_block_rows
+    n = _round_up(B, br)
+    feats_p, att1_p, h0_p, emb_p, hs_p, g_p = _pad_rows(
+        (feats, att1, h0, embeds, hs, g), n)
+    grid = n // br
+    rtile = lambda *s: pl.BlockSpec((br,) + s, lambda i: (i,) + (0,) * len(s))
+    wtile = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s))
+    gtile = lambda *s: pl.BlockSpec((1,) + s, lambda i: (i,) + (0,) * len(s))
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, T=T, hd=H),
+        grid=(grid,),
+        in_specs=[rtile(R, F), rtile(R, H), rtile(H), rtile(T, E),
+                  wtile(H, H), wtile(1, H), wtile(1, H), wtile(In, 3 * H),
+                  wtile(H, 3 * H), wtile(1, 3 * H), wtile(1, 3 * H),
+                  rtile(T, H), rtile(T, H)],
+        out_specs=[rtile(R, F), rtile(R, H), rtile(H), rtile(T, E),
+                   gtile(H, H), gtile(1, H), gtile(1, H), gtile(In, 3 * H),
+                   gtile(H, 3 * H), gtile(1, 3 * H), gtile(1, 3 * H)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, R, F), feats.dtype),
+            jax.ShapeDtypeStruct((n, R, H), att1.dtype),
+            jax.ShapeDtypeStruct((n, H), h0.dtype),
+            jax.ShapeDtypeStruct((n, T, E), embeds.dtype),
+            jax.ShapeDtypeStruct((grid, H, H), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((grid, In, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((grid, H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 1, 3 * H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(feats_p, att1_p, h0_p, emb_p, ua_w, ua_b[None, :], va[None, :],
+      wih_t, whh_t, bih[None, :], bhh[None, :], hs_p, g_p)
+    (d_feats, d_att1, d_h0, d_emb, d_ua_w, d_ua_b, d_va, d_wih, d_whh,
+     d_bih, d_bhh) = outs
+    wsum = lambda x: jnp.sum(x, axis=0)
+    return (
+        d_feats[:B].astype(feats.dtype),
+        d_att1[:B].astype(att1.dtype),
+        d_h0[:B].astype(h0.dtype),
+        d_emb[:B].astype(embeds.dtype),
+        wsum(d_ua_w).astype(ua_w.dtype),
+        wsum(d_ua_b)[0].astype(ua_b.dtype),
+        wsum(d_va)[0].astype(va.dtype),
+        wsum(d_wih).astype(wih_t.dtype),
+        wsum(d_whh).astype(whh_t.dtype),
+        wsum(d_bih)[0].astype(bih.dtype),
+        wsum(d_bhh)[0].astype(bhh.dtype),
+    )
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+def fused_teacher_forced_hidden(
+    params: Dict,
+    raw_features: jnp.ndarray,
+    captions: jnp.ndarray,
+    gru_params: Optional[Dict] = None,
+    block_rows: int = 64,
+    bwd_block_rows: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, None]:
+    """Drop-in for ``dec.teacher_forced_hidden(...)[0]`` (pure TF) with
+    the recurrence as one fused fwd kernel + one fused BPTT bwd kernel.
+    Differentiable in every decoder/theta tensor; the attention-weight
+    output of the scan path is not produced (the CE path never reads
+    it).  v_a's bias gradient is identically zero by softmax shift
+    invariance (the scan path agrees to ~1e-8)."""
+    features = dec.encode_features(params, raw_features)
+    h0 = dec.init_hidden(params, features)
+    att = params["attention"]
+    att1 = linear(att["W_a"], features)
+    embeds = embedding(params["embed"], captions)
+    cell = params["gru"] if gru_params is None else gru_params
+    cdt = raw_features.dtype
+    hs = _fused_core(
+        features.astype(cdt), att1.astype(cdt), h0, embeds,
+        att["U_a"]["w"].astype(cdt), att["U_a"]["b"], att["v_a"]["w"][:, 0],
+        jnp.transpose(cell["w_ih"]).astype(cdt),
+        jnp.transpose(cell["w_hh"]).astype(cdt),
+        cell["b_ih"], cell["b_hh"],
+        block_rows, bwd_block_rows, interpret,
+    )
+    return hs, None

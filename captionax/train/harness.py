@@ -147,11 +147,13 @@ class CaptionTrainer:
             train_step, eval_step = make_gru_steps(
                 self.tx, bf16=config.bf16_compute,
                 unroll=config.scan_unroll,
+                fused_scan=config.fused_scan,
             )
         else:
             train_step, eval_step = make_hypernet_steps(
                 self.tx, embed_fn=embed_fn, bf16=config.bf16_compute,
                 unroll=config.scan_unroll,
+                fused_scan=config.fused_scan,
             )
             if config.mixup and config.style_aux:
                 raise ValueError(

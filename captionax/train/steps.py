@@ -76,20 +76,35 @@ def _tf_logits(decoder_params, batch, sample_prob=0.0, rng=None,
 
 
 def _tf_ce(decoder_params, batch, pad_id, gru_params=None, bf16=False,
-           remat=True, unroll=1):
+           remat=True, unroll=1, fused=False):
     """Pure-teacher-forced CE via the fused chunked loss: the recurrence
     scan emits [B,T,H] hidden states and fused_ce_from_hidden reduces them
     without materializing [B*T,V] logits.  Value identical to
-    cross_entropy_loss(_tf_logits(...))."""
+    cross_entropy_loss(_tf_logits(...)).
+
+    ``fused=True`` swaps the lax.scan recurrence for the Pallas fused
+    fwd+BPTT kernel (ops.train_kernel — opt-in, --fused-scan): the
+    25-step recurrence is latency-bound in XLA (~30x off roofline,
+    benchmarks/trainstep_roofline.py) and one kernel holding the loop
+    pipelines it.  Scan-equality (values + all grads) is test-enforced
+    (tests/test_train_kernel.py)."""
     features = batch["features"]
     if bf16:
         decoder_params = _bf16(decoder_params)
         gru_params = None if gru_params is None else _bf16(gru_params)
         features = features.astype(jnp.bfloat16)
-    hs, _ = dec.teacher_forced_hidden(
-        decoder_params, features, batch["captions"], gru_params=gru_params,
-        remat=remat, unroll=unroll,
-    )
+    if fused:
+        from captionax.ops.train_kernel import fused_teacher_forced_hidden
+
+        hs, _ = fused_teacher_forced_hidden(
+            decoder_params, features, batch["captions"],
+            gru_params=gru_params,
+        )
+    else:
+        hs, _ = dec.teacher_forced_hidden(
+            decoder_params, features, batch["captions"],
+            gru_params=gru_params, remat=remat, unroll=unroll,
+        )
     return fused_ce_from_hidden(
         decoder_params["fc"], hs, batch["captions"], pad_id
     )
@@ -97,14 +112,16 @@ def _tf_ce(decoder_params, batch, pad_id, gru_params=None, bf16=False,
 
 # ------------------------------------------------------------- plain GRU
 def make_gru_steps(tx, pad_id: int = 0, bf16: bool = False,
-                   remat: bool = True, unroll: int = 1):
+                   remat: bool = True, unroll: int = 1,
+                   fused_scan: bool = False):
     """``remat`` checkpoints the decode scan in the train loss (identical
     numerics, backward recomputes the attention step instead of saving
-    [B,R,H] residuals — measured ~11 ms of the 84 ms f32 step at B=1024)."""
+    [B,R,H] residuals — measured ~11 ms of the 84 ms f32 step at B=1024).
+    ``fused_scan`` swaps the recurrence for the Pallas train kernel."""
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             return _tf_ce(params, batch, pad_id, bf16=bf16, remat=remat,
-                          unroll=unroll)
+                          unroll=unroll, fused=fused_scan)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads, tx)
@@ -176,18 +193,19 @@ def synthesize_theta_batched(params, style_embeds):
 def make_hypernet_steps(tx, pad_id: int = 0,
                         embed_fn: Callable = style_token_embed,
                         bf16: bool = False, remat: bool = True,
-                        unroll: int = 1):
+                        unroll: int = 1, fused_scan: bool = False):
     """``embed_fn(params, batch) -> style/domain embedding`` selects the
     conditioning source: vocab style tokens (FlickrStyle) or a
     DomainEmbedder projection reading batch['domain_value'] (CC).
-    ``remat``: see make_gru_steps."""
+    ``remat``/``fused_scan``: see make_gru_steps (the kernel's theta
+    gradient flows back into the hypernet like the scan's)."""
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         def loss_fn(params):
             theta = hypernet_apply(params["hn"], embed_fn(params, batch))
             return _tf_ce(params["decoder"], batch, pad_id,
                           gru_params=theta, bf16=bf16, remat=remat,
-                          unroll=unroll)
+                          unroll=unroll, fused=fused_scan)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads, tx)
