@@ -40,6 +40,15 @@ from cc_gru_vs_hypernet import ZS_DOMAINS, split_files  # noqa: E402
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_parity")
 CKPT = os.path.join(OUT_DIR, "ckpt_combine")
+
+
+def _ckpt(args):
+    return CKPT + getattr(args, "tag", "")
+
+
+def _art(args, name):
+    """Tagged artifact path (e.g. --tag _s1 for seed replications)."""
+    return os.path.join(OUT_DIR, f"{name}{getattr(args, 'tag', '')}.json")
 PROBE_PATH = os.path.join(OUT_DIR, "combine_probe.pkl")
 LABELS4 = ("factual", "humour", "romantic", "CC")
 
@@ -57,7 +66,7 @@ def common_flags(args, seen_p, zs_p):
         "--max-epochs", str(args.epochs),
         "--seed", str(args.seed),
         "--lr", str(args.lr),
-        "--checkpoint-dir", CKPT,
+        "--checkpoint-dir", _ckpt(args),
         "--encoder-depth", str(args.encoder_depth),
         # HBM-resident feature table: zero per-step host->device feature
         # traffic, which also sidesteps the relay's RSS-leak-per-transfer
@@ -67,6 +76,10 @@ def common_flags(args, seen_p, zs_p):
 
 
 DISTILL_PATH = os.path.join(OUT_DIR, "combine_distilled_hn.pkl")
+
+
+def _distill_path(args):
+    return DISTILL_PATH.replace(".pkl", f"{getattr(args, 'tag', '')}.pkl")
 
 
 def phase_train(args):
@@ -87,7 +100,7 @@ def phase_train(args):
     if args.style_aux or args.select_sep_margin:
         flags += ["--style-classifier", PROBE_PATH]
     if args.init_distilled:
-        flags += ["--init-hn", DISTILL_PATH]
+        flags += ["--init-hn", _distill_path(args)]
     if args.skip_val_quality:
         flags += ["--skip-val-quality"]
     t0 = time.time()
@@ -100,7 +113,7 @@ def phase_train(args):
                       "init_distilled": args.init_distilled,
                       "batch_size": args.batch_size,
                       "epochs": args.epochs}}
-    with open(os.path.join(OUT_DIR, "combine_train.json"), "w") as f:
+    with open(_art(args, "combine_train"), "w") as f:
         json.dump(out, f, indent=1)
     print("train done", out["train_seconds"], "s")
 
@@ -164,13 +177,13 @@ def phase_distill(args):
     import jax as _jax
 
     host = _jax.tree_util.tree_map(np.asarray, {"hn": hn})
-    with open(DISTILL_PATH, "wb") as f:
+    with open(_distill_path(args), "wb") as f:
         pickle.dump(host, f)
-    with open(os.path.join(OUT_DIR, "combine_distill.json"), "w") as f:
+    with open(_art(args, "combine_distill"), "w") as f:
         json.dump({"final_mse": lv, "steps": i + 1,
                    "seconds": time.time() - t0, "trajectory": traj}, f,
                   indent=1)
-    print(f"saved {DISTILL_PATH} (mse {lv:.3e}, {i + 1} steps)")
+    print(f"saved {_distill_path(args)} (mse {lv:.3e}, {i + 1} steps)")
 
 
 def _load_sep_model_init(args):
@@ -211,7 +224,7 @@ def phase_testall(args):
     res = testall_main(common_flags(args, seen_p, zs_p))
     res = {split: {k: float(v) for k, v in r.items()}
            for split, r in res.items()}
-    with open(os.path.join(OUT_DIR, "combine_testall.json"), "w") as f:
+    with open(_art(args, "combine_testall"), "w") as f:
         json.dump(res, f, indent=1)
     for split, r in res.items():
         print(split, {k: round(v, 4) for k, v in r.items()
@@ -315,7 +328,7 @@ def _load_sep_model(args):
 
     (vocab, data, cc_domains, model_cfg, embedder, params,
      k2) = _load_sep_model_init(args)
-    params = restore_checkpoint(CKPT, like=params)
+    params = restore_checkpoint(_ckpt(args), like=params)
     return vocab, data, cc_domains, model_cfg, embedder, params, k2
 
 
@@ -371,7 +384,7 @@ def phase_thetadist(args):
     _, _, cc_domains, _, embedder, params, _ = _load_sep_model(args)
     conds, _ = _sep_conditionings(args, cc_domains)
     dist = _theta_distances(embedder, params, conds)
-    path = os.path.join(OUT_DIR, "combine_thetadist.json")
+    path = _art(args, "combine_thetadist")
     with open(path, "w") as f:
         json.dump(dist, f, indent=1)
     tl2 = dist["theta_l2"]
@@ -487,7 +500,7 @@ def phase_sep(args):
         out["beam_quality"][style] = {k: round(float(v), 4)
                                       for k, v in sc.items()
                                       if k in ("bleu1", "cider")}
-    with open(os.path.join(OUT_DIR, "combine_sep.json"), "w") as f:
+    with open(_art(args, "combine_sep"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in ("overall_acc", "per_cond_acc")}))
 
@@ -540,6 +553,9 @@ def main(argv=None):
                    help="skip per-epoch val BLEU/METEOR/ROUGE/CIDEr "
                         "(single-core Python, ~minutes/epoch at this "
                         "val size)")
+    p.add_argument("--tag", default="",
+                   help="artifact/checkpoint suffix (e.g. _s1 for seed "
+                        "replications)")
     p.add_argument("--distill-lr", type=float, default=1e-3)
     p.add_argument("--distill-steps", type=int, default=6000)
     p.add_argument("--phase", default="all",

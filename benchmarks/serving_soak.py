@@ -187,6 +187,7 @@ def main(argv=None):
     p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--listen-fd", type=int, default=-1,
                    help=argparse.SUPPRESS)
+    p.add_argument("--standby", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--out", type=str,
                    default=os.path.join(os.path.dirname(__file__),
                                         "_parity", "serving_soak.json"))
@@ -211,7 +212,8 @@ def main(argv=None):
                 styles[0])
 
         run_worker(service, "127.0.0.1", args.port, warmup=warm,
-                   listen_fd=args.listen_fd if args.listen_fd >= 0 else None)
+                   listen_fd=args.listen_fd if args.listen_fd >= 0 else None,
+                   standby=args.standby)
         return
 
     if args.rss_limit_mb > 0:

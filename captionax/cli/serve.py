@@ -107,6 +107,8 @@ def make_serve_parser(doc=None):
                         help=__import__("argparse").SUPPRESS)
     parser.add_argument("--listen-fd", type=int, default=-1,
                         help=__import__("argparse").SUPPRESS)
+    parser.add_argument("--standby", action="store_true",
+                        help=__import__("argparse").SUPPRESS)
     # --mesh-data comes from make_parser; here it shards each inference
     # dispatch over the data axis (service.py mesh note)
     return parser
@@ -155,7 +157,8 @@ def main(argv=None):
         service = build_service(args)
         run_worker(service, args.host, args.port,
                    drain_grace_s=args.drain_grace, warmup=_warmup,
-                   listen_fd=args.listen_fd if args.listen_fd >= 0 else None)
+                   listen_fd=args.listen_fd if args.listen_fd >= 0 else None,
+                   standby=args.standby)
         return
 
     from captionax.decode.service import make_http_server

@@ -60,12 +60,22 @@ def proc_rss_mb(pid: int) -> Optional[float]:
 
 def run_worker(service, host: str, port: int, *,
                drain_grace_s: float = 10.0, warmup=None,
-               listen_fd: Optional[int] = None) -> None:
+               listen_fd: Optional[int] = None,
+               standby: bool = False) -> None:
     """Serve ``service`` on (host, port) — or on the supervisor's
     inherited ``listen_fd`` — with graceful SIGTERM drain.  Prints
     ``WORKER_READY port=<p>`` only after the optional ``warmup()`` ran
     (compile paid before the first request can arrive).  Blocks until
-    SIGTERM."""
+    SIGTERM.
+
+    ``standby=True`` (pre-armed replacements): after warmup the worker
+    does NOT accept — it idles fully hot until SIGUSR1 activates it.
+    An idle worker makes no host->device transfers, so under the relay
+    plugin's transfer leak its RSS stays FLAT while it waits; serving
+    from the ready moment (the r5a design) made the replacement leak
+    alongside the incumbent and the handover overshoot unbounded
+    (worker startup under load ~3 min x ~30 MB/s leak — measured
+    15.7 GB peak at a 6 GB limit, serving_soak logs)."""
     from captionax.decode.service import make_http_server
 
     if warmup is not None:
@@ -73,16 +83,34 @@ def run_worker(service, host: str, port: int, *,
     srv = make_http_server(service, host, port,
                            reuse_port=listen_fd is None,
                            listen_fd=listen_fd)
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
     stop = threading.Event()
+    go = threading.Event()
 
     def on_term(signum, frame):
         stop.set()
 
+    def on_activate(signum, frame):
+        go.set()
+
     signal.signal(signal.SIGTERM, on_term)
-    print(f"{READY_MARK} port={srv.server_address[1]} pid={os.getpid()}",
-          flush=True)
+    signal.signal(signal.SIGUSR1, on_activate)
+    if standby:
+        print(f"{READY_MARK} port={srv.server_address[1]} "
+              f"pid={os.getpid()} standby=1", flush=True)
+        while not (go.is_set() or stop.is_set()):
+            time.sleep(0.1)
+        if stop.is_set() and not go.is_set():
+            srv.server_close()
+            service.close()
+            print(f"standby worker {os.getpid()} retired unused",
+                  flush=True)
+            return
+        print(f"worker {os.getpid()} activated", flush=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    if not standby:
+        print(f"{READY_MARK} port={srv.server_address[1]} pid={os.getpid()}",
+              flush=True)
     while not stop.wait(0.5):
         pass
     # graceful drain: stop accepting (with a shared listen_fd the queued
@@ -136,7 +164,7 @@ class RssSupervisor:
         self._pending_thread: Optional[threading.Thread] = None
         self._pending_err: Optional[BaseException] = None
 
-    def _spawn(self) -> subprocess.Popen:
+    def _spawn(self, standby: bool = False) -> subprocess.Popen:
         # captionax may be run from a checkout rather than installed —
         # make sure the worker can import it wherever the supervisor
         # was launched from
@@ -149,6 +177,8 @@ class RssSupervisor:
         if self._sock is not None:
             argv += ["--listen-fd", str(self._sock.fileno())]
             pass_fds = (self._sock.fileno(),)
+        if standby:
+            argv += ["--standby"]
         proc = subprocess.Popen(
             argv, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True, bufsize=1, env=env,
@@ -179,19 +209,27 @@ class RssSupervisor:
         return proc
 
     def _start_prearm(self):
-        """Kick off a replacement spawn in the background (model build +
-        warmup compile run while the incumbent still has RSS headroom)."""
+        """Kick off a STANDBY replacement spawn in the background: model
+        build + warmup compile run while the incumbent still has RSS
+        headroom, then the replacement idles hot (flat RSS — it accepts
+        nothing until activated, see run_worker standby)."""
         if self._pending_thread is not None:
             return
 
         def build():
             try:
-                self._pending = self._spawn()
+                self._pending = self._spawn(standby=self._sock is not None)
             except BaseException as e:  # surfaced at switch time
                 self._pending_err = e
 
         self._pending_thread = threading.Thread(target=build, daemon=True)
         self._pending_thread.start()
+
+    def _activate(self, proc: subprocess.Popen) -> None:
+        """Tell a standby worker to start accepting (no-op for legacy
+        non-standby replacements, which already serve)."""
+        if self._sock is not None and proc.poll() is None:
+            proc.send_signal(signal.SIGUSR1)
 
     def _take_pending(self, block: bool) -> Optional[subprocess.Popen]:
         if self._pending_thread is None:
@@ -226,8 +264,12 @@ class RssSupervisor:
                 if self.current.poll() is not None:
                     print(f"worker died (exit={self.current.poll()}); "
                           "respawning", flush=True)
-                    self.current = (self._take_pending(block=True)
-                                    or self._spawn())
+                    pend = self._take_pending(block=True)
+                    if pend is not None:
+                        self._activate(pend)
+                        self.current = pend
+                    else:
+                        self.current = self._spawn()
                     self.recycles += 1
                     continue
                 rss = proc_rss_mb(self.current.pid)
@@ -244,7 +286,8 @@ class RssSupervisor:
                           f"limit {self.rss_limit_mb:.0f} MB; rolling",
                           flush=True)
                     old = self.current
-                    self.current = replacement  # already serving (hot)
+                    self._activate(replacement)  # hot standby -> serving
+                    self.current = replacement
                     self._retire(old)
                     self.recycles += 1
         except KeyboardInterrupt:

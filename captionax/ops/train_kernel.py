@@ -85,13 +85,15 @@ def _fwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
     rows = feats.shape[0]
     zero_word = jnp.zeros((rows, E), jnp.float32)
 
+    # time rides the LEADING (untiled) axis of emb/hs — Mosaic rejects
+    # dynamic 1-slices along the sublane axis of [rows, T, ...] refs
     def step(t, h):
-        emb_t = emb_ref[:, pl.ds(jnp.maximum(t - 1, 0), 1), :][
-            :, 0, :].astype(jnp.float32)
+        emb_t = emb_ref[pl.ds(jnp.maximum(t - 1, 0), 1)][0].astype(
+            jnp.float32)
         word = jnp.where(t == 0, zero_word, emb_t)
         h = _cell_fwd(word, h, feats, att1, ua_w, ua_b, va, wih, whh,
                       bih, bhh, hd)
-        hs_ref[:, pl.ds(t, 1), :] = h[:, None, :].astype(hs_ref.dtype)
+        hs_ref[pl.ds(t, 1)] = h[None].astype(hs_ref.dtype)
         return h
 
     jax.lax.fori_loop(0, T, step, h0_ref[:].astype(jnp.float32))
@@ -114,8 +116,7 @@ def _bwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
     In = wih.shape[0]
 
     # word grad at t=0 is identically zero (the zero-embedding quirk)
-    d_emb_ref[:, pl.ds(T - 1, 1), :] = jnp.zeros((rows, 1, E),
-                                                 d_emb_ref.dtype)
+    d_emb_ref[pl.ds(T - 1, 1)] = jnp.zeros((1, rows, E), d_emb_ref.dtype)
 
     def step(i, carry):
         t = T - 1 - i
@@ -124,11 +125,10 @@ def _bwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
         h_prev = jnp.where(
             t == 0,
             h0_ref[:].astype(jnp.float32),
-            hs_ref[:, pl.ds(jnp.maximum(t - 1, 0), 1), :][
-                :, 0, :].astype(jnp.float32),
+            hs_ref[pl.ds(jnp.maximum(t - 1, 0), 1)][0].astype(jnp.float32),
         )
-        emb_t = emb_ref[:, pl.ds(jnp.maximum(t - 1, 0), 1), :][
-            :, 0, :].astype(jnp.float32)
+        emb_t = emb_ref[pl.ds(jnp.maximum(t - 1, 0), 1)][0].astype(
+            jnp.float32)
         word = jnp.where(t == 0, jnp.zeros((rows, E), jnp.float32), emb_t)
 
         # ---- recompute the step forward (free remat off hs) ----
@@ -153,8 +153,7 @@ def _bwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
         n = jnp.tanh(gi[:, 2 * hd:] + r * gh_n)
 
         # ---- backward through the step ----
-        dh_new = g_ref[:, pl.ds(t, 1), :][:, 0, :].astype(
-            jnp.float32) + dh
+        dh_new = g_ref[pl.ds(t, 1)][0].astype(jnp.float32) + dh
         dz = dh_new * (h_prev - n)
         dn = dh_new * (1.0 - z)
         dh_prev = dh_new * z
@@ -183,8 +182,8 @@ def _bwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
 
         @pl.when(t > 0)
         def _():
-            d_emb_ref[:, pl.ds(jnp.maximum(t - 1, 0), 1), :] = (
-                dword[:, None, :].astype(d_emb_ref.dtype))
+            d_emb_ref[pl.ds(jnp.maximum(t - 1, 0), 1)] = (
+                dword[None].astype(d_emb_ref.dtype))
 
         # attention backward
         dw = jnp.sum(dctx.astype(cdt)[:, None, :] * feats,
@@ -265,23 +264,28 @@ def _fused_fwd_call(feats, att1, h0, embeds, ua_w, ua_b, va, wih_t, whh_t,
     H = h0.shape[1]
     n = _round_up(B, block_rows)
     feats_p, att1_p, h0_p, emb_p = _pad_rows((feats, att1, h0, embeds), n)
+    emb_t_first = jnp.transpose(emb_p, (1, 0, 2))  # [T, n, E]
+    E = emb_p.shape[2]
     grid = n // block_rows
     rtile = lambda *s: pl.BlockSpec((block_rows,) + s,
                                     lambda i: (i,) + (0,) * len(s))
+    # time-leading blocks: full T, row-tiled on axis 1
+    ttile = lambda T_, s: pl.BlockSpec((T_, block_rows, s),
+                                       lambda i: (0, i, 0))
     wtile = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s))
     hs = pl.pallas_call(
         functools.partial(_fwd_kernel, T=T, hd=H),
         grid=(grid,),
-        in_specs=[rtile(R, F), rtile(R, H), rtile(H), rtile(T, emb_p.shape[2]),
+        in_specs=[rtile(R, F), rtile(R, H), rtile(H), ttile(T, E),
                   wtile(H, H), wtile(1, H), wtile(1, H),
                   wtile(wih_t.shape[0], 3 * H), wtile(H, 3 * H),
                   wtile(1, 3 * H), wtile(1, 3 * H)],
-        out_specs=rtile(T, H),
-        out_shape=jax.ShapeDtypeStruct((n, T, H), jnp.float32),
+        out_specs=ttile(T, H),
+        out_shape=jax.ShapeDtypeStruct((T, n, H), jnp.float32),
         interpret=interpret,
-    )(feats_p, att1_p, h0_p, emb_p, ua_w, ua_b[None, :], va[None, :],
+    )(feats_p, att1_p, h0_p, emb_t_first, ua_w, ua_b[None, :], va[None, :],
       wih_t, whh_t, bih[None, :], bhh[None, :])
-    return hs[:B]
+    return jnp.transpose(hs, (1, 0, 2))[:B]
 
 
 def _fused_core_fwd(feats, att1, h0, embeds, ua_w, ua_b, va, wih_t, whh_t,
@@ -304,25 +308,29 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
     n = _round_up(B, br)
     feats_p, att1_p, h0_p, emb_p, hs_p, g_p = _pad_rows(
         (feats, att1, h0, embeds, hs, g), n)
+    emb_tf = jnp.transpose(emb_p, (1, 0, 2))   # [T, n, E]
+    hs_tf = jnp.transpose(hs_p, (1, 0, 2))     # [T, n, H]
+    g_tf = jnp.transpose(g_p, (1, 0, 2))
     grid = n // br
     rtile = lambda *s: pl.BlockSpec((br,) + s, lambda i: (i,) + (0,) * len(s))
+    ttile = lambda T_, s: pl.BlockSpec((T_, br, s), lambda i: (0, i, 0))
     wtile = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s))
     gtile = lambda *s: pl.BlockSpec((1,) + s, lambda i: (i,) + (0,) * len(s))
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, T=T, hd=H),
         grid=(grid,),
-        in_specs=[rtile(R, F), rtile(R, H), rtile(H), rtile(T, E),
+        in_specs=[rtile(R, F), rtile(R, H), rtile(H), ttile(T, E),
                   wtile(H, H), wtile(1, H), wtile(1, H), wtile(In, 3 * H),
                   wtile(H, 3 * H), wtile(1, 3 * H), wtile(1, 3 * H),
-                  rtile(T, H), rtile(T, H)],
-        out_specs=[rtile(R, F), rtile(R, H), rtile(H), rtile(T, E),
+                  ttile(T, H), ttile(T, H)],
+        out_specs=[rtile(R, F), rtile(R, H), rtile(H), ttile(T, E),
                    gtile(H, H), gtile(1, H), gtile(1, H), gtile(In, 3 * H),
                    gtile(H, 3 * H), gtile(1, 3 * H), gtile(1, 3 * H)],
         out_shape=[
             jax.ShapeDtypeStruct((n, R, F), feats.dtype),
             jax.ShapeDtypeStruct((n, R, H), att1.dtype),
             jax.ShapeDtypeStruct((n, H), h0.dtype),
-            jax.ShapeDtypeStruct((n, T, E), embeds.dtype),
+            jax.ShapeDtypeStruct((T, n, E), embeds.dtype),
             jax.ShapeDtypeStruct((grid, H, H), jnp.float32),
             jax.ShapeDtypeStruct((grid, 1, H), jnp.float32),
             jax.ShapeDtypeStruct((grid, 1, H), jnp.float32),
@@ -332,8 +340,8 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
             jax.ShapeDtypeStruct((grid, 1, 3 * H), jnp.float32),
         ],
         interpret=interpret,
-    )(feats_p, att1_p, h0_p, emb_p, ua_w, ua_b[None, :], va[None, :],
-      wih_t, whh_t, bih[None, :], bhh[None, :], hs_p, g_p)
+    )(feats_p, att1_p, h0_p, emb_tf, ua_w, ua_b[None, :], va[None, :],
+      wih_t, whh_t, bih[None, :], bhh[None, :], hs_tf, g_tf)
     (d_feats, d_att1, d_h0, d_emb, d_ua_w, d_ua_b, d_va, d_wih, d_whh,
      d_bih, d_bhh) = outs
     wsum = lambda x: jnp.sum(x, axis=0)
@@ -341,7 +349,7 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
         d_feats[:B].astype(feats.dtype),
         d_att1[:B].astype(att1.dtype),
         d_h0[:B].astype(h0.dtype),
-        d_emb[:B].astype(embeds.dtype),
+        jnp.transpose(d_emb, (1, 0, 2))[:B].astype(embeds.dtype),
         wsum(d_ua_w).astype(ua_w.dtype),
         wsum(d_ua_b)[0].astype(ua_b.dtype),
         wsum(d_va)[0].astype(va.dtype),

@@ -33,6 +33,7 @@ sys.path.insert(0, {pkg!r})
 
 p = argparse.ArgumentParser()
 p.add_argument("--listen-fd", type=int, default=-1)
+p.add_argument("--standby", action="store_true")
 a = p.parse_args()
 
 from captionax.decode.supervise import run_worker
@@ -54,7 +55,8 @@ class Dummy:
 
 
 run_worker(Dummy(), "127.0.0.1", 0, drain_grace_s=1.0,
-           listen_fd=a.listen_fd if a.listen_fd >= 0 else None)
+           listen_fd=a.listen_fd if a.listen_fd >= 0 else None,
+           standby=a.standby)
 '''
 
 
