@@ -186,11 +186,13 @@ def _bwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
                 dword[None].astype(d_emb_ref.dtype))
 
         # attention backward
-        dw = jnp.sum(dctx.astype(cdt)[:, None, :] * feats,
-                     axis=2).astype(jnp.float32)             # [rows,R]
-        d_feats = d_feats + (w.astype(cdt)[:, :, None]
-                             * dctx.astype(cdt)[:, None, :]).astype(
-                                 d_feats.dtype)
+        # sublane-inserting [:, None, :] must happen in f32 and cast
+        # AFTER (Mosaic: 'unsupported shape cast' on bf16 [r,F]->[r,1,F];
+        # the decode kernel's att2 pattern)
+        dctx3 = dctx[:, None, :].astype(cdt)                 # [rows,1,F]
+        dw = jnp.sum(dctx3 * feats, axis=2).astype(jnp.float32)  # [rows,R]
+        d_feats = d_feats + (w.astype(cdt)[:, :, None] * dctx3).astype(
+            d_feats.dtype)
         ds = w * (dw - jnp.sum(w * dw, axis=1, keepdims=True))
         da = ds.astype(cdt)[:, :, None] * va[None, None, :].astype(cdt)
         de_lin = (da * (1.0 - a * a))                        # [rows,R,H] cdt
