@@ -81,16 +81,14 @@ def _fwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
     va = va_ref[0]
     wih, whh = wih_ref[:], whh_ref[:]
     bih, bhh = bih_ref[0], bhh_ref[0]
-    E = emb_ref.shape[2]
-    rows = feats.shape[0]
-    zero_word = jnp.zeros((rows, E), jnp.float32)
-
-    # time rides the LEADING (untiled) axis of emb/hs — Mosaic rejects
-    # dynamic 1-slices along the sublane axis of [rows, T, ...] refs
+    # time rides the LEADING (untiled) axis of emb/hs (Mosaic rejects
+    # dynamic 1-slices along the sublane axis of [rows, T, ...] refs),
+    # and emb comes PRE-SHIFTED (row 0 = the zero word of the t=0
+    # quirk, row t = embeds[t-1]) so the step has no t==0 select —
+    # scalar-cond jnp.where between a squeezed slice and a ref read
+    # trips Mosaic relayout inference
     def step(t, h):
-        emb_t = emb_ref[pl.ds(jnp.maximum(t - 1, 0), 1)][0].astype(
-            jnp.float32)
-        word = jnp.where(t == 0, zero_word, emb_t)
+        word = emb_ref[pl.ds(t, 1)][0].astype(jnp.float32)
         h = _cell_fwd(word, h, feats, att1, ua_w, ua_b, va, wih, whh,
                       bih, bhh, hd)
         hs_ref[pl.ds(t, 1)] = h[None].astype(hs_ref.dtype)
@@ -99,11 +97,15 @@ def _fwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
     jax.lax.fori_loop(0, T, step, h0_ref[:].astype(jnp.float32))
 
 
-def _bwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
-                va_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hs_ref, g_ref,
+def _bwd_kernel(feats_ref, att1_ref, emb_ref, ua_w_ref, ua_b_ref,
+                va_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hsp_ref, g_ref,
                 d_feats_ref, d_att1_ref, d_h0_ref, d_emb_ref, d_ua_w_ref,
                 d_ua_b_ref, d_va_ref, d_wih_ref, d_whh_ref, d_bih_ref,
                 d_bhh_ref, *, T: int, hd: int):
+    """``emb_ref`` is the pre-shifted word sequence (row t = the word
+    consumed at step t; row 0 is the zero word) and ``hsp_ref`` the
+    pre-shifted hidden sequence (row t = h_{t-1}; row 0 is h0) — both
+    built outside so the reverse loop needs no t==0 selects."""
     feats = feats_ref[:]
     att1 = att1_ref[:]
     cdt = feats.dtype
@@ -115,21 +117,12 @@ def _bwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
     E = emb_ref.shape[2]
     In = wih.shape[0]
 
-    # word grad at t=0 is identically zero (the zero-embedding quirk)
-    d_emb_ref[pl.ds(T - 1, 1)] = jnp.zeros((1, rows, E), d_emb_ref.dtype)
-
     def step(i, carry):
         t = T - 1 - i
         (dh, d_feats, d_att1, d_ua_w, d_ua_b, d_va, d_wih, d_whh, d_bih,
          d_bhh) = carry
-        h_prev = jnp.where(
-            t == 0,
-            h0_ref[:].astype(jnp.float32),
-            hs_ref[pl.ds(jnp.maximum(t - 1, 0), 1)][0].astype(jnp.float32),
-        )
-        emb_t = emb_ref[pl.ds(jnp.maximum(t - 1, 0), 1)][0].astype(
-            jnp.float32)
-        word = jnp.where(t == 0, jnp.zeros((rows, E), jnp.float32), emb_t)
+        h_prev = hsp_ref[pl.ds(t, 1)][0].astype(jnp.float32)
+        word = emb_ref[pl.ds(t, 1)][0].astype(jnp.float32)
 
         # ---- recompute the step forward (free remat off hs) ----
         att2 = jnp.dot(h_prev.astype(cdt), ua_w,
@@ -180,10 +173,9 @@ def _bwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
         dword = dx[:, :E]
         dctx = dx[:, E:]
 
-        @pl.when(t > 0)
-        def _():
-            d_emb_ref[pl.ds(jnp.maximum(t - 1, 0), 1)] = (
-                dword[None].astype(d_emb_ref.dtype))
+        # stored for every t; row 0 is the zero word's grad, discarded
+        # outside (the t=0 quirk)
+        d_emb_ref[pl.ds(t, 1)] = dword[None].astype(d_emb_ref.dtype)
 
         # attention backward
         # sublane-inserting [:, None, :] must happen in f32 and cast
@@ -266,8 +258,12 @@ def _fused_fwd_call(feats, att1, h0, embeds, ua_w, ua_b, va, wih_t, whh_t,
     H = h0.shape[1]
     n = _round_up(B, block_rows)
     feats_p, att1_p, h0_p, emb_p = _pad_rows((feats, att1, h0, embeds), n)
-    emb_t_first = jnp.transpose(emb_p, (1, 0, 2))  # [T, n, E]
     E = emb_p.shape[2]
+    emb_tf = jnp.transpose(emb_p, (1, 0, 2))       # [T, n, E]
+    # pre-shifted word sequence: row 0 = the zero word (t=0 quirk),
+    # row t = embeds[t-1] — removes the t==0 select from the kernel
+    emb_shift = jnp.concatenate(
+        [jnp.zeros((1, n, E), emb_tf.dtype), emb_tf[:-1]], axis=0)
     grid = n // block_rows
     rtile = lambda *s: pl.BlockSpec((block_rows,) + s,
                                     lambda i: (i,) + (0,) * len(s))
@@ -285,7 +281,7 @@ def _fused_fwd_call(feats, att1, h0, embeds, ua_w, ua_b, va, wih_t, whh_t,
         out_specs=ttile(T, H),
         out_shape=jax.ShapeDtypeStruct((T, n, H), jnp.float32),
         interpret=interpret,
-    )(feats_p, att1_p, h0_p, emb_t_first, ua_w, ua_b[None, :], va[None, :],
+    )(feats_p, att1_p, h0_p, emb_shift, ua_w, ua_b[None, :], va[None, :],
       wih_t, whh_t, bih[None, :], bhh[None, :])
     return jnp.transpose(hs, (1, 0, 2))[:B]
 
@@ -310,8 +306,14 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
     n = _round_up(B, br)
     feats_p, att1_p, h0_p, emb_p, hs_p, g_p = _pad_rows(
         (feats, att1, h0, embeds, hs, g), n)
+    E2 = emb_p.shape[2]
     emb_tf = jnp.transpose(emb_p, (1, 0, 2))   # [T, n, E]
+    emb_shift = jnp.concatenate(
+        [jnp.zeros((1, n, E2), emb_tf.dtype), emb_tf[:-1]], axis=0)
     hs_tf = jnp.transpose(hs_p, (1, 0, 2))     # [T, n, H]
+    # pre-shifted hidden sequence: row t = h_{t-1} (row 0 = h0)
+    hsp = jnp.concatenate([h0_p[None].astype(hs_tf.dtype), hs_tf[:-1]],
+                          axis=0)
     g_tf = jnp.transpose(g_p, (1, 0, 2))
     grid = n // br
     rtile = lambda *s: pl.BlockSpec((br,) + s, lambda i: (i,) + (0,) * len(s))
@@ -321,7 +323,7 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, T=T, hd=H),
         grid=(grid,),
-        in_specs=[rtile(R, F), rtile(R, H), rtile(H), ttile(T, E),
+        in_specs=[rtile(R, F), rtile(R, H), ttile(T, E2),
                   wtile(H, H), wtile(1, H), wtile(1, H), wtile(In, 3 * H),
                   wtile(H, 3 * H), wtile(1, 3 * H), wtile(1, 3 * H),
                   ttile(T, H), ttile(T, H)],
@@ -342,8 +344,8 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
             jax.ShapeDtypeStruct((grid, 1, 3 * H), jnp.float32),
         ],
         interpret=interpret,
-    )(feats_p, att1_p, h0_p, emb_tf, ua_w, ua_b[None, :], va[None, :],
-      wih_t, whh_t, bih[None, :], bhh[None, :], hs_tf, g_tf)
+    )(feats_p, att1_p, emb_shift, ua_w, ua_b[None, :], va[None, :],
+      wih_t, whh_t, bih[None, :], bhh[None, :], hsp, g_tf)
     (d_feats, d_att1, d_h0, d_emb, d_ua_w, d_ua_b, d_va, d_wih, d_whh,
      d_bih, d_bhh) = outs
     wsum = lambda x: jnp.sum(x, axis=0)
@@ -351,7 +353,11 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
         d_feats[:B].astype(feats.dtype),
         d_att1[:B].astype(att1.dtype),
         d_h0[:B].astype(h0.dtype),
-        jnp.transpose(d_emb, (1, 0, 2))[:B].astype(embeds.dtype),
+        jnp.transpose(
+            jnp.concatenate(
+                [d_emb[1:],
+                 jnp.zeros((1,) + d_emb.shape[1:], d_emb.dtype)], axis=0),
+            (1, 0, 2))[:B].astype(embeds.dtype),
         wsum(d_ua_w).astype(ua_w.dtype),
         wsum(d_ua_b)[0].astype(ua_b.dtype),
         wsum(d_va)[0].astype(va.dtype),
