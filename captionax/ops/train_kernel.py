@@ -41,6 +41,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from captionax.models import decoder as dec
 from captionax.models.layers import embedding, linear
@@ -101,7 +102,7 @@ def _bwd_kernel(feats_ref, att1_ref, emb_ref, ua_w_ref, ua_b_ref,
                 va_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hsp_ref, g_ref,
                 d_feats_ref, d_att1_ref, d_h0_ref, d_emb_ref, d_ua_w_ref,
                 d_ua_b_ref, d_va_ref, d_wih_ref, d_whh_ref, d_bih_ref,
-                d_bhh_ref, *, T: int, hd: int):
+                d_bhh_ref, datt2_scr, *, T: int, hd: int):
     """``emb_ref`` is the pre-shifted word sequence (row t = the word
     consumed at step t; row 0 is the zero word) and ``hsp_ref`` the
     pre-shifted hidden sequence (row t = h_{t-1}; row 0 is h0) — both
@@ -189,7 +190,13 @@ def _bwd_kernel(feats_ref, att1_ref, emb_ref, ua_w_ref, ua_b_ref,
         da = ds.astype(cdt)[:, :, None] * va[None, None, :].astype(cdt)
         de_lin = (da * (1.0 - a * a))                        # [rows,R,H] cdt
         d_att1 = d_att1 + de_lin.astype(d_att1.dtype)
-        datt2 = jnp.sum(de_lin, axis=1).astype(jnp.float32)  # [rows,H]
+        # the axis-1 (sublane) reduce leaves datt2 in an implicit-dim
+        # replicated layout that Mosaic cannot relayout into the dim-0
+        # contractions below ("Invalid relayout: non-singleton logical
+        # dimension is replicated in destination but not in source");
+        # a VMEM scratch store/load forces a concrete (8,128) layout
+        datt2_scr[:] = jnp.sum(de_lin, axis=1).astype(jnp.float32)
+        datt2 = datt2_scr[:]                                 # [rows,H]
         d_ua_w = d_ua_w + jax.lax.dot_general(
             h_prev, datt2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -343,6 +350,7 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
             jax.ShapeDtypeStruct((grid, 1, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((grid, 1, 3 * H), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((br, H), jnp.float32)],
         interpret=interpret,
     )(feats_p, att1_p, emb_shift, ua_w, ua_b[None, :], va[None, :],
       wih_t, whh_t, bih[None, :], bhh[None, :], hsp, g_tf)
@@ -377,7 +385,7 @@ def fused_teacher_forced_hidden(
     captions: jnp.ndarray,
     gru_params: Optional[Dict] = None,
     block_rows: int = 64,
-    bwd_block_rows: int = 32,
+    bwd_block_rows: int = 8,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, None]:
     """Drop-in for ``dec.teacher_forced_hidden(...)[0]`` (pure TF) with
