@@ -99,29 +99,48 @@ def _fwd_kernel(feats_ref, att1_ref, h0_ref, emb_ref, ua_w_ref, ua_b_ref,
 
 
 def _bwd_kernel(feats_ref, att1_ref, emb_ref, ua_w_ref, ua_b_ref,
-                va_ref, wih_ref, whh_ref, bih_ref, bhh_ref, hsp_ref, g_ref,
+                va_ref, wih_ref, whh_ref, bih_ref, bhh_ref, wihT_ref,
+                whhT_ref, uawT_ref, hsp_ref, g_ref,
                 d_feats_ref, d_att1_ref, d_h0_ref, d_emb_ref, d_ua_w_ref,
                 d_ua_b_ref, d_va_ref, d_wih_ref, d_whh_ref, d_bih_ref,
                 d_bhh_ref, datt2_scr, *, T: int, hd: int):
     """``emb_ref`` is the pre-shifted word sequence (row t = the word
     consumed at step t; row 0 is the zero word) and ``hsp_ref`` the
     pre-shifted hidden sequence (row t = h_{t-1}; row 0 is h0) — both
-    built outside so the reverse loop needs no t==0 selects."""
+    built outside so the reverse loop needs no t==0 selects.
+
+    ``wihT/whhT/uawT`` are the opposite-direction weight copies
+    (transposed OUTSIDE the kernel — the in-kernel ``.astype(f32).T``
+    copies cost 1.6MB of scoped VMEM per step).  Weight gradients
+    accumulate directly into constant-index output blocks (revisited
+    across the sequential grid, zeroed at tile 0) instead of loop
+    carries + per-tile partials — together these cuts fit the kernel in
+    the 16MB scoped-VMEM budget at 16 rows (32 overflows by 10MB)."""
     feats = feats_ref[:]
     att1 = att1_ref[:]
     cdt = feats.dtype
     ua_w, ua_b = ua_w_ref[:], ua_b_ref[0]
     va = va_ref[0]
     wih, whh = wih_ref[:], whh_ref[:]
+    wihT, whhT, uawT = wihT_ref[:], whhT_ref[:], uawT_ref[:]
     bih, bhh = bih_ref[0], bhh_ref[0]
     rows, R, F = feats.shape
     E = emb_ref.shape[2]
     In = wih.shape[0]
 
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_weight_grads():
+        d_ua_w_ref[:] = jnp.zeros_like(d_ua_w_ref)
+        d_ua_b_ref[:] = jnp.zeros_like(d_ua_b_ref)
+        d_va_ref[:] = jnp.zeros_like(d_va_ref)
+        d_wih_ref[:] = jnp.zeros_like(d_wih_ref)
+        d_whh_ref[:] = jnp.zeros_like(d_whh_ref)
+        d_bih_ref[:] = jnp.zeros_like(d_bih_ref)
+        d_bhh_ref[:] = jnp.zeros_like(d_bhh_ref)
+
     def step(i, carry):
         t = T - 1 - i
-        (dh, d_feats, d_att1, d_ua_w, d_ua_b, d_va, d_wih, d_whh, d_bih,
-         d_bhh) = carry
+        (dh, d_feats, d_att1) = carry
         h_prev = hsp_ref[pl.ds(t, 1)][0].astype(jnp.float32)
         word = emb_ref[pl.ds(t, 1)][0].astype(jnp.float32)
 
@@ -158,18 +177,21 @@ def _bwd_kernel(feats_ref, att1_ref, emb_ref, ua_w_ref, ua_b_ref,
         dgi = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=1)  # [rows,3H]
         dgh = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=1)
 
-        d_wih = d_wih + jax.lax.dot_general(
+        d_wih_ref[:] += jax.lax.dot_general(
             x, dgi, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [In,3H]
-        d_whh = d_whh + jax.lax.dot_general(
+        d_whh_ref[:] += jax.lax.dot_general(
             h_prev, dgh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        d_bih = d_bih + jnp.sum(dgi, axis=0, keepdims=True)
-        d_bhh = d_bhh + jnp.sum(dgh, axis=0, keepdims=True)
+        d_bih_ref[:] += jnp.sum(dgi, axis=0, keepdims=True)
+        d_bhh_ref[:] += jnp.sum(dgh, axis=0, keepdims=True)
 
-        dx = jnp.dot(dgi, wih.astype(jnp.float32).T,
+        # opposite-direction dots use the pre-transposed compute-dtype
+        # copies — same operand precision as the scan path's VJP (the
+        # cotangent of a bf16 dot is cast to bf16 by XLA)
+        dx = jnp.dot(dgi.astype(wihT.dtype), wihT,
                      preferred_element_type=jnp.float32)     # [rows,In]
-        dh_prev = dh_prev + jnp.dot(dgh, whh.astype(jnp.float32).T,
+        dh_prev = dh_prev + jnp.dot(dgh.astype(whhT.dtype), whhT,
                                     preferred_element_type=jnp.float32)
         dword = dx[:, :E]
         dctx = dx[:, E:]
@@ -197,44 +219,31 @@ def _bwd_kernel(feats_ref, att1_ref, emb_ref, ua_w_ref, ua_b_ref,
         # a VMEM scratch store/load forces a concrete (8,128) layout
         datt2_scr[:] = jnp.sum(de_lin, axis=1).astype(jnp.float32)
         datt2 = datt2_scr[:]                                 # [rows,H]
-        d_ua_w = d_ua_w + jax.lax.dot_general(
+        d_ua_w_ref[:] += jax.lax.dot_general(
             h_prev, datt2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        d_ua_b = d_ua_b + jnp.sum(datt2, axis=0, keepdims=True)
-        d_va = d_va + jnp.sum(
+        d_ua_b_ref[:] += jnp.sum(datt2, axis=0, keepdims=True)
+        d_va_ref[:] += jnp.sum(
             a.astype(jnp.float32) * ds[:, :, None], axis=(0, 1),
         )[None, :]
-        dh_prev = dh_prev + jnp.dot(datt2, ua_w.astype(jnp.float32).T,
+        dh_prev = dh_prev + jnp.dot(datt2.astype(uawT.dtype), uawT,
                                     preferred_element_type=jnp.float32)
-        return (dh_prev, d_feats, d_att1, d_ua_w, d_ua_b, d_va, d_wih,
-                d_whh, d_bih, d_bhh)
+        return (dh_prev, d_feats, d_att1)
 
     H = hd
+    # d_feats/d_att1 carries accumulate in the COMPUTE dtype — the scan
+    # path's cotangents of these bf16 primals are themselves bf16 (f32
+    # carries here cost 1.25MB of the 16MB scoped-VMEM budget; exact in
+    # the f32 test mode either way)
     init = (
         jnp.zeros((rows, H), jnp.float32),
-        jnp.zeros((rows, R, F), jnp.float32),
-        jnp.zeros((rows, R, H), jnp.float32),
-        jnp.zeros((H, H), jnp.float32),
-        jnp.zeros((1, H), jnp.float32),
-        jnp.zeros((1, H), jnp.float32),
-        jnp.zeros((In, 3 * H), jnp.float32),
-        jnp.zeros((H, 3 * H), jnp.float32),
-        jnp.zeros((1, 3 * H), jnp.float32),
-        jnp.zeros((1, 3 * H), jnp.float32),
+        jnp.zeros((rows, R, F), cdt),
+        jnp.zeros((rows, R, H), cdt),
     )
-    (dh, d_feats, d_att1, d_ua_w, d_ua_b, d_va, d_wih, d_whh, d_bih,
-     d_bhh) = jax.lax.fori_loop(0, T, step, init)
+    (dh, d_feats, d_att1) = jax.lax.fori_loop(0, T, step, init)
     d_h0_ref[:] = dh.astype(d_h0_ref.dtype)
     d_feats_ref[:] = d_feats.astype(d_feats_ref.dtype)
     d_att1_ref[:] = d_att1.astype(d_att1_ref.dtype)
-    # weight-grad outputs carry a leading per-tile grid axis (block 1)
-    d_ua_w_ref[0] = d_ua_w
-    d_ua_b_ref[0] = d_ua_b
-    d_va_ref[0] = d_va
-    d_wih_ref[0] = d_wih
-    d_whh_ref[0] = d_whh
-    d_bih_ref[0] = d_bih
-    d_bhh_ref[0] = d_bhh
 
 
 def _round_up(x: int, m: int) -> int:
@@ -326,37 +335,40 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
     rtile = lambda *s: pl.BlockSpec((br,) + s, lambda i: (i,) + (0,) * len(s))
     ttile = lambda T_, s: pl.BlockSpec((T_, br, s), lambda i: (0, i, 0))
     wtile = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s))
-    gtile = lambda *s: pl.BlockSpec((1,) + s, lambda i: (i,) + (0,) * len(s))
+    # weight-grad outputs: ONE constant-index block revisited by every
+    # (sequential) grid step — zeroed at tile 0, accumulated in place
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, T=T, hd=H),
         grid=(grid,),
         in_specs=[rtile(R, F), rtile(R, H), ttile(T, E2),
                   wtile(H, H), wtile(1, H), wtile(1, H), wtile(In, 3 * H),
                   wtile(H, 3 * H), wtile(1, 3 * H), wtile(1, 3 * H),
+                  wtile(3 * H, In), wtile(3 * H, H), wtile(H, H),
                   ttile(T, H), ttile(T, H)],
         out_specs=[rtile(R, F), rtile(R, H), rtile(H), ttile(T, E),
-                   gtile(H, H), gtile(1, H), gtile(1, H), gtile(In, 3 * H),
-                   gtile(H, 3 * H), gtile(1, 3 * H), gtile(1, 3 * H)],
+                   wtile(H, H), wtile(1, H), wtile(1, H), wtile(In, 3 * H),
+                   wtile(H, 3 * H), wtile(1, 3 * H), wtile(1, 3 * H)],
         out_shape=[
             jax.ShapeDtypeStruct((n, R, F), feats.dtype),
             jax.ShapeDtypeStruct((n, R, H), att1.dtype),
             jax.ShapeDtypeStruct((n, H), h0.dtype),
             jax.ShapeDtypeStruct((T, n, E), embeds.dtype),
-            jax.ShapeDtypeStruct((grid, H, H), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 1, H), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 1, H), jnp.float32),
-            jax.ShapeDtypeStruct((grid, In, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((grid, H, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 1, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((In, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((br, H), jnp.float32)],
         interpret=interpret,
     )(feats_p, att1_p, emb_shift, ua_w, ua_b[None, :], va[None, :],
-      wih_t, whh_t, bih[None, :], bhh[None, :], hsp, g_tf)
+      wih_t, whh_t, bih[None, :], bhh[None, :],
+      jnp.transpose(wih_t), jnp.transpose(whh_t), jnp.transpose(ua_w),
+      hsp, g_tf)
     (d_feats, d_att1, d_h0, d_emb, d_ua_w, d_ua_b, d_va, d_wih, d_whh,
      d_bih, d_bhh) = outs
-    wsum = lambda x: jnp.sum(x, axis=0)
     return (
         d_feats[:B].astype(feats.dtype),
         d_att1[:B].astype(att1.dtype),
@@ -366,13 +378,13 @@ def _fused_core_bwd(block_rows, bwd_block_rows, interpret, res, g):
                 [d_emb[1:],
                  jnp.zeros((1,) + d_emb.shape[1:], d_emb.dtype)], axis=0),
             (1, 0, 2))[:B].astype(embeds.dtype),
-        wsum(d_ua_w).astype(ua_w.dtype),
-        wsum(d_ua_b)[0].astype(ua_b.dtype),
-        wsum(d_va)[0].astype(va.dtype),
-        wsum(d_wih).astype(wih_t.dtype),
-        wsum(d_whh).astype(whh_t.dtype),
-        wsum(d_bih)[0].astype(bih.dtype),
-        wsum(d_bhh)[0].astype(bhh.dtype),
+        d_ua_w.astype(ua_w.dtype),
+        d_ua_b[0].astype(ua_b.dtype),
+        d_va[0].astype(va.dtype),
+        d_wih.astype(wih_t.dtype),
+        d_whh.astype(whh_t.dtype),
+        d_bih[0].astype(bih.dtype),
+        d_bhh[0].astype(bhh.dtype),
     )
 
 
@@ -384,16 +396,22 @@ def fused_teacher_forced_hidden(
     raw_features: jnp.ndarray,
     captions: jnp.ndarray,
     gru_params: Optional[Dict] = None,
-    block_rows: int = 64,
-    bwd_block_rows: int = 8,
-    interpret: bool = False,
+    block_rows: int = 48,
+    bwd_block_rows: int = 16,
+    interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, None]:
     """Drop-in for ``dec.teacher_forced_hidden(...)[0]`` (pure TF) with
     the recurrence as one fused fwd kernel + one fused BPTT bwd kernel.
     Differentiable in every decoder/theta tensor; the attention-weight
     output of the scan path is not produced (the CE path never reads
     it).  v_a's bias gradient is identically zero by softmax shift
-    invariance (the scan path agrees to ~1e-8)."""
+    invariance (the scan path agrees to ~1e-8).
+
+    ``interpret=None`` resolves by backend: interpret mode on CPU (the
+    Mosaic kernels only lower for TPU), compiled elsewhere — so
+    ``fused_scan=True`` train steps work on both without plumbing."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     features = dec.encode_features(params, raw_features)
     h0 = dec.init_hidden(params, features)
     att = params["attention"]
